@@ -1,0 +1,188 @@
+"""MeBT stage-2 model: embeddings + latent transformer + MLM loss.
+
+Behavioural reference: mebt/transformer.py (Net2NetTransformer:60).
+The reference class is a LightningModule that also owns the frozen
+VQGAN; here the transformer side is a pure flax module operating on
+*code indices* — the VQGAN lives in mebt_tpu/models/vqgan.py and is
+composed by the task-level pipeline (mebt_tpu/train, mebt_tpu/sampler).
+
+Token construction (reference transformer.py:255-277, masked form):
+    tokens[p] = tok_emb[codes[p]] + pos_emb[p]      if p is context
+                mask_emb          + pos_emb[p]      otherwise
+    latents   = sos_emb  (learned queries, `sos_emb: 256` in configs)
+
+Out-of-window positions (neither context nor target) never appear as
+attention keys and their logits are never read, so their embedding
+content is irrelevant — this reproduces the reference's behaviour of
+physically dropping them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mebt_tpu.models.transformer import LatentTransformer, dense_init
+
+
+@dataclass(frozen=True)
+class MeBTConfig:
+    """Model hyperparameters, schema-compatible with the reference YAML
+    `model.params` block (configs/*/mebt_*.yaml)."""
+
+    vocab_size: int = 16384
+    block_size: int = 1024
+    n_layer: int = 24
+    n_head: int = 16
+    n_embd: int = 1024
+    sos_emb: int = 256
+    mode: tuple[str, ...] = ()
+    embd_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    attn_pdrop: float = 0.0
+    avg_loss: float = 0.0
+    label_smoothing: float = 0.0
+    t_prior: str = "longest"
+    latent_shape: tuple[int, int, int] = (4, 16, 16)
+    unconditional: bool = True
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @classmethod
+    def from_config(cls, params: Mapping, mask_shape: Sequence[int] | None = None,
+                    **overrides) -> "MeBTConfig":
+        """Build from a reference-style `model.params` mapping; extra
+        reference keys (vtokens, vis_epoch, ...) are ignored here and
+        consumed by the trainer."""
+        known = {
+            "vocab_size", "block_size", "n_layer", "n_head", "n_embd",
+            "sos_emb", "mode", "embd_pdrop", "resid_pdrop", "attn_pdrop",
+            "avg_loss", "label_smoothing", "t_prior", "unconditional",
+        }
+        kw = {k: params[k] for k in known if k in params}
+        if "mode" in kw:
+            kw["mode"] = tuple(kw["mode"])
+        if "avg_loss" in kw:
+            kw["avg_loss"] = float(kw["avg_loss"])
+        if mask_shape is not None:
+            kw["latent_shape"] = tuple(int(s) for s in mask_shape)
+        kw.update(overrides)
+        return cls(**kw)
+
+    @property
+    def seq_len(self) -> int:
+        t, h, w = self.latent_shape
+        return t * h * w
+
+
+class MeBT(nn.Module):
+    """Bidirectional masked-token transformer over VQ code indices."""
+
+    config: MeBTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        codes: jax.Array,  # (B, N) int32 — VQ code per position
+        ctx_mask: jax.Array,  # (B, N) bool — revealed positions
+        tgt_mask: jax.Array,  # (B, N) bool — positions to predict
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.config
+        B, N = codes.shape
+
+        tok_emb = nn.Embed(
+            cfg.vocab_size,
+            cfg.n_embd,
+            embedding_init=dense_init,
+            dtype=cfg.dtype,
+            name="tok_emb",
+        )
+        mask_emb = self.param(
+            "mask_emb", dense_init, (1, 1, cfg.n_embd), jnp.float32
+        )
+        pos_emb = self.param(
+            "pos_emb", dense_init, (1, cfg.block_size, cfg.n_embd), jnp.float32
+        )
+        sos_emb = self.param(
+            "sos_emb", dense_init, (1, cfg.sos_emb, cfg.n_embd), jnp.float32
+        )
+
+        tok = tok_emb(codes)
+        tokens = jnp.where(
+            ctx_mask[..., None], tok, mask_emb.astype(cfg.dtype)
+        )
+        tokens = tokens + pos_emb[:, :N].astype(cfg.dtype)
+        latents = jnp.broadcast_to(
+            sos_emb, (B, cfg.sos_emb, cfg.n_embd)
+        ).astype(cfg.dtype)
+
+        logits = LatentTransformer(
+            vocab_size=cfg.vocab_size,
+            n_layer=cfg.n_layer,
+            n_head=cfg.n_head,
+            n_embd=cfg.n_embd,
+            mode=cfg.mode,
+            embd_pdrop=cfg.embd_pdrop,
+            attn_pdrop=cfg.attn_pdrop,
+            resid_pdrop=cfg.resid_pdrop,
+            dtype=cfg.dtype,
+            remat=cfg.remat,
+            name="transformer",
+        )(latents, tokens, ctx_mask, tgt_mask, deterministic=deterministic)
+        return logits
+
+
+def mlm_loss(
+    logits: jax.Array,  # (B, N, V) fp32
+    codes: jax.Array,  # (B, N) int32 ground-truth codes
+    tgt_mask: jax.Array,  # (B, N) bool
+    seq_len: jax.Array,  # scalar — window token count
+    masked_weight: jax.Array,  # scalar — N_window - n_contexts (NT_weight)
+    avg_loss: float = 1.0,
+    label_smoothing: float = 0.0,
+):
+    """MLM objective matching reference shared_step (transformer.py:717-732).
+
+    loss = CE_sum(targets) / (B * seq_len * ratio**avg_loss),
+    ratio = masked_weight / seq_len. With avg_loss=1 (all configs) this
+    normalizes by the number of *masked* tokens rather than predicted
+    ones — replicated faithfully including the budget-capped case.
+
+    Returns (loss, metrics) where metrics has ce_sum / acc1 / acc5.
+    """
+    V = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tgt_logp = jnp.take_along_axis(logp, codes[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        # torch F.cross_entropy label_smoothing semantics:
+        # (1-eps)*nll + eps*mean(-logp)
+        smooth = -jnp.mean(logp, axis=-1)
+        per_tok = (1.0 - label_smoothing) * (-tgt_logp) + label_smoothing * smooth
+    else:
+        per_tok = -tgt_logp
+
+    tgtf = tgt_mask.astype(jnp.float32)
+    ce_sum = jnp.sum(per_tok * tgtf)
+
+    B = logits.shape[0]
+    ratio = masked_weight / seq_len
+    weight = ratio**avg_loss
+    loss = ce_sum / (B * seq_len * weight)
+
+    # top-1 / top-5 accuracy over target positions (reference utils.py
+    # accuracy:80)
+    n_tgt = jnp.maximum(jnp.sum(tgtf), 1.0)
+    pred1 = jnp.argmax(logits, axis=-1)
+    acc1 = jnp.sum((pred1 == codes) * tgtf) / n_tgt * 100.0
+    top5 = jax.lax.top_k(logits, 5)[1]
+    hit5 = jnp.any(top5 == codes[..., None], axis=-1)
+    acc5 = jnp.sum(hit5 * tgtf) / n_tgt * 100.0
+
+    metrics = {"ce_sum": ce_sum, "acc1": acc1, "acc5": acc5, "ratio": ratio}
+    return loss, metrics

@@ -1,0 +1,248 @@
+"""MeBT latent-bottleneck transformer, TPU-native formulation.
+
+Behavioural reference: mebt/modules/gpt.py (GPT:198, Block:143,
+CrossAttention:98). Five block modes route all attention through a small
+set of latent tokens:
+
+  latent_enc  : latents   <- tokens restricted to *context* positions
+  latent_self : latents  <-> latents
+  latent_dec  : tokens    <- latents
+  lt2l        : latents   <- [latents ; tokens restricted to *targets*]
+  maskgit     : tokens   <-> tokens (full self-attention fallback)
+
+TPU-first divergence: the reference materializes variable-length
+(B, NC, D) context and (B, NT, D) target tensors per step
+(gpt.py:159-195). Here the full (B, N, D) token array stays resident
+with static shape, and context/target membership is expressed by two
+boolean masks. That keeps every decode step of the MaskGIT loop inside
+a single compiled `lax.scan` (no per-shape recompiles, no host syncs).
+
+Parameter sharding (2-D `(data, model)` mesh): QKV/MLP kernels are
+annotated for Megatron-style tensor parallelism over the `model` axis;
+see mebt_tpu/parallel/mesh.py.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mebt_tpu.ops.attention import masked_attention
+
+BLOCK_MODES = ("latent_enc", "latent_self", "latent_dec", "lt2l", "maskgit")
+
+
+def default_mode_list(n_layer: int, mode: Sequence[str]) -> list[str]:
+    """Pad the mode list with `maskgit` like the reference (gpt.py:208-209)."""
+    mode = list(mode)
+    if len(mode) < n_layer:
+        mode += ["maskgit"] * (n_layer - len(mode))
+    if len(mode) != n_layer:
+        raise ValueError(f"{len(mode)} modes for {n_layer} layers")
+    for m in mode:
+        if m not in BLOCK_MODES:
+            raise ValueError(f"Unknown block mode: {m}")
+    return mode
+
+
+# Kernel init matching the reference: N(0, 0.02) weights, zero bias
+# (gpt.py:225-232).
+dense_init = nn.initializers.normal(stddev=0.02)
+
+
+class CrossAttention(nn.Module):
+    """Q from `query`, K/V from `key`, boolean key mask support.
+
+    Reference: mebt/modules/gpt.py:98-141. The reference's `attn_bias`
+    argument is always 0 at runtime (transformer.py:281, 321) and is not
+    reproduced.
+    """
+
+    n_embd: int
+    n_head: int
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, key_mask=None, *, deterministic=True):
+        B, NQ, C = query.shape
+        Dh = self.n_embd // self.n_head
+
+        def proj(name):
+            return nn.Dense(
+                self.n_embd,
+                kernel_init=dense_init,
+                dtype=self.dtype,
+                name=name,
+            )
+
+        q = proj("query")(query).reshape(B, NQ, self.n_head, Dh)
+        k = proj("key")(key).reshape(B, key.shape[1], self.n_head, Dh)
+        v = proj("value")(key).reshape(B, key.shape[1], self.n_head, Dh)
+        q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+
+        if self.attn_pdrop > 0.0 and not deterministic:
+            # Dropout on attention probabilities requires the dense-probs
+            # path; fold it in by recomputing probabilities explicitly.
+            scale = 1.0 / (Dh**0.5)
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+            scores = scores * scale
+            from mebt_tpu.ops.attention import masked_softmax
+
+            mask = None if key_mask is None else key_mask[:, None, None, :]
+            probs = masked_softmax(scores, mask)
+            probs = nn.Dropout(self.attn_pdrop)(
+                probs, deterministic=deterministic
+            )
+            y = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+        else:
+            y = masked_attention(q, k, v, key_mask)
+
+        y = y.transpose(0, 2, 1, 3).reshape(B, NQ, C)
+        y = proj("proj")(y)
+        y = nn.Dropout(self.resid_pdrop)(y, deterministic=deterministic)
+        return y.astype(query.dtype)
+
+
+class Mlp(nn.Module):
+    n_embd: int
+    resid_pdrop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic=True):
+        h = nn.Dense(
+            4 * self.n_embd, kernel_init=dense_init, dtype=self.dtype, name="fc"
+        )(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(
+            self.n_embd, kernel_init=dense_init, dtype=self.dtype, name="proj"
+        )(h)
+        h = nn.Dropout(self.resid_pdrop)(h, deterministic=deterministic)
+        return h
+
+
+class Block(nn.Module):
+    """One pre-LN transformer block with a static routing mode.
+
+    Reference: mebt/modules/gpt.py:143-195. ln1 normalizes both the
+    query and key streams (shared weights); the residual adds the
+    *un-normalized* query.
+    """
+
+    mode: str
+    n_embd: int
+    n_head: int
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, latents, tokens, ctx_mask, tgt_mask, *, deterministic=True
+    ):
+        ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")
+        ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")
+        attn = CrossAttention(
+            n_embd=self.n_embd,
+            n_head=self.n_head,
+            attn_pdrop=self.attn_pdrop,
+            resid_pdrop=self.resid_pdrop,
+            dtype=self.dtype,
+            name="attn",
+        )
+        mlp = Mlp(
+            n_embd=self.n_embd,
+            resid_pdrop=self.resid_pdrop,
+            dtype=self.dtype,
+            name="mlp",
+        )
+
+        if self.mode == "latent_self":
+            query, key, key_mask = latents, latents, None
+        elif self.mode == "latent_enc":
+            query, key, key_mask = latents, tokens, ctx_mask
+        elif self.mode == "latent_dec":
+            query, key, key_mask = tokens, latents, None
+        elif self.mode == "lt2l":
+            query = latents
+            key = jnp.concatenate([latents, tokens], axis=1)
+            ones = jnp.ones(
+                (tokens.shape[0], latents.shape[1]), dtype=jnp.bool_
+            )
+            key_mask = jnp.concatenate([ones, tgt_mask], axis=1)
+        elif self.mode == "maskgit":
+            query, key = tokens, tokens
+            key_mask = jnp.logical_or(ctx_mask, tgt_mask)
+        else:
+            raise ValueError(self.mode)
+
+        x = query + attn(
+            ln1(query), ln1(key), key_mask, deterministic=deterministic
+        )
+        x = x + mlp(ln2(x), deterministic=deterministic)
+
+        if self.mode in ("latent_enc", "latent_self", "lt2l"):
+            latents = x
+        elif self.mode == "latent_dec":
+            tokens = x
+        else:  # maskgit
+            tokens = x
+        return latents, tokens
+
+
+class LatentTransformer(nn.Module):
+    """Stack of routed blocks + final LN + vocab head.
+
+    Reference: mebt/modules/gpt.py:198-253 (GPT). The head is bias-free
+    (gpt.py:217). Output logits cover every token position; callers
+    select target positions with `tgt_mask`.
+    """
+
+    vocab_size: int
+    n_layer: int = 24
+    n_head: int = 16
+    n_embd: int = 1024
+    mode: Sequence[str] = ()
+    embd_pdrop: float = 0.0
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self, latents, tokens, ctx_mask, tgt_mask, *, deterministic=True
+    ):
+        modes = default_mode_list(self.n_layer, self.mode)
+        drop = nn.Dropout(self.embd_pdrop)
+        latents = drop(latents, deterministic=deterministic)
+        tokens = drop(tokens, deterministic=deterministic)
+
+        block_cls = Block
+        if self.remat:
+            block_cls = nn.remat(Block, static_argnums=())
+        for i, mode in enumerate(modes):
+            latents, tokens = block_cls(
+                mode=mode,
+                n_embd=self.n_embd,
+                n_head=self.n_head,
+                attn_pdrop=self.attn_pdrop,
+                resid_pdrop=self.resid_pdrop,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )(latents, tokens, ctx_mask, tgt_mask, deterministic=deterministic)
+
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_f")(tokens)
+        logits = nn.Dense(
+            self.vocab_size,
+            use_bias=False,
+            kernel_init=dense_init,
+            dtype=self.dtype,
+            name="head",
+        )(x)
+        return logits.astype(jnp.float32)

@@ -1,0 +1,1 @@
+from mebt_tpu.ops.attention import masked_attention  # noqa: F401

@@ -1,0 +1,145 @@
+"""Token sampling and confidence-based mask promotion, device-side.
+
+Behavioural reference: mebt/transformer.py:826-910 (gumbel_sort,
+sample_from_logits, top_k_logits, top_p_probs) and
+mebt/mask_sampler.py:178-246 (gumbel_top_k, generate_next_mask).
+
+Distribution-level parity notes:
+  * `gumbel_sort` sampling — the reference draws Exponential(1) noise
+    and takes argmax(prob / noise); this IS the Gumbel-max trick, so
+    sampling a categorical by `prob / Exp(1)` argmax is reproduced
+    verbatim (same math, same distribution).
+  * `gumbel_top_k` promotion — perturbed confidence `p / q**ctemp`
+    with q ~ Exp(1), descending sort, take the first k. We reproduce it
+    with an argsort-based exact ranking so that "top k among targets"
+    works with a *dynamic* k inside jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.finfo(jnp.float32).min
+
+
+def top_k_logits(logits: jax.Array, k: int) -> jax.Array:
+    """Keep the k largest logits per row, set the rest to -inf.
+
+    Reference: transformer.py:891-895. `k` is static.
+    """
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def top_p_probs(probs: jax.Array, p: float) -> jax.Array:
+    """Nucleus filtering on probabilities (reference transformer.py:898-910).
+
+    Sort descending, zero out tokens once the cumulative probability has
+    reached p (the first token crossing the threshold is kept), then
+    renormalize.
+    """
+    sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    remove_sorted = cum >= p
+    # shift right: keep the first token that crosses the threshold
+    remove_sorted = jnp.concatenate(
+        [jnp.zeros_like(remove_sorted[..., :1]), remove_sorted[..., :-1]],
+        axis=-1,
+    )
+    # Value-threshold formulation: a token is removed iff its prob is
+    # strictly below the smallest kept sorted prob. Equivalent to the
+    # reference's scatter-back except on exact float ties (measure-zero
+    # for continuous logits).
+    min_kept = jnp.min(
+        jnp.where(remove_sorted, jnp.inf, sorted_probs), axis=-1, keepdims=True
+    )
+    out = jnp.where(probs < min_kept, 0.0, probs)
+    return out / jnp.sum(out, axis=-1, keepdims=True)
+
+
+def sample_from_logits(
+    rng: jax.Array,
+    logits: jax.Array,
+    temperature: float = 1.0,
+    top_k: int | None = None,
+    top_p: float | None = None,
+):
+    """Sample token ids and return (samples, chosen_prob).
+
+    Reference: transformer.py:843-889. Softmax in fp32; the NaN guard of
+    the reference is unnecessary here (logits are finite by
+    construction) but the -inf handling after top-k matches.
+
+    Returns:
+      samples: (...,) int32 token ids.
+      probs: (..., V) post-filter probabilities (the reference returns
+        these for confidence scoring).
+    """
+    logits = logits.astype(jnp.float32) / (temperature + 1e-8)
+    if top_k is not None:
+        logits = top_k_logits(logits, int(top_k))
+    probs = jax.nn.softmax(logits, axis=-1)
+    if top_p is not None:
+        probs = top_p_probs(probs, float(top_p))
+
+    # Gumbel-max via Exponential(1) division (reference gumbel_sort).
+    q = jax.random.exponential(rng, probs.shape, dtype=jnp.float32)
+    perturbed = jnp.where(probs > 0, probs / q, 0.0)
+    samples = jnp.argmax(perturbed, axis=-1).astype(jnp.int32)
+    return samples, probs
+
+
+def exact_rank_desc(values: jax.Array) -> jax.Array:
+    """rank[i] = position of element i in a descending sort of `values`
+    (0 = largest). Ties broken by index (stable argsort). The rank array
+    is the inverse permutation of the sort order."""
+    order = jnp.argsort(-values, axis=-1, stable=True)
+    return jnp.argsort(order, axis=-1)
+
+
+def promote_targets(
+    rng: jax.Array,
+    scores: jax.Array,
+    tgt_mask: jax.Array,
+    n_new: jax.Array,
+    context_temperature: jax.Array,
+    random_scores: bool = False,
+):
+    """Promote the n_new most-confident targets to contexts.
+
+    Masked reformulation of reference mask_sampler.py:189-237: normalize
+    scores over targets, perturb by Exp(1)**ctemp, and flip the top
+    `n_new` target positions to context.
+
+    Args:
+      rng: PRNG key.
+      scores: (B, N) confidence of the sampled token per position
+        (ignored at non-target positions).
+      tgt_mask: (B, N) bool, True at (still-masked) target positions.
+      n_new: scalar int (traced ok) — number of positions to promote.
+      context_temperature: scalar float (traced ok) — ctemp exponent.
+      random_scores: replicates strategy='random'/'bootstrap'
+        (mask_sampler.py:206-208): scores ~ N(0,1), ctemp forced to 0.
+
+    Returns:
+      promote: (B, N) bool — positions to move from target to context.
+    """
+    B, N = scores.shape
+    if random_scores:
+        scores = jax.random.normal(rng, (B, N), dtype=jnp.float32)
+        context_temperature = jnp.zeros((), jnp.float32)
+        rng = jax.random.fold_in(rng, 1)
+
+    # Reference normalizes by the plain sum over targets; the scale only
+    # matters relative to the Exp(1)**ctemp perturbation magnitude.
+    tgtf = tgt_mask.astype(jnp.float32)
+    denom = jnp.sum(scores * tgtf, axis=-1, keepdims=True)
+    prob = scores / jnp.where(denom == 0, 1.0, denom)
+
+    q = jax.random.exponential(rng, (B, N), dtype=jnp.float32)
+    perturbed = prob / (q**context_temperature)
+    perturbed = jnp.where(tgt_mask, perturbed, -jnp.inf)
+
+    rank = exact_rank_desc(perturbed)
+    return (rank < n_new) & tgt_mask

@@ -1,0 +1,17 @@
+"""Test env: force CPU backend with 8 virtual devices so sharding tests
+run without TPU hardware (must be set before jax is imported)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# Numerical parity tests need exact fp32 matmuls (the default matmul
+# precision mirrors TPU bf16 passes even on CPU).
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
