@@ -1,0 +1,123 @@
+"""Headline benchmark: STL-16f generation throughput (videos/sec/chip).
+
+Recipe mirrors the reference eval harness (BASELINE.md row 1 /
+scripts/valid_dnr_config_ckpt_exp_stl_16f.sh): MaskGIT sampling with 32
+steps, cosine schedule, ctemp 8.0 linear decay, batch 16, followed by
+VQGAN decode of the (4,16,16) latent codes to 16x128x128 pixels.
+Weights are random (throughput is weight-independent); model size is the
+published flagship: 24L/16H/1024d, vocab 16384, 256 latents.
+
+vs_baseline: the reference repo publishes no throughput numbers
+(BASELINE.md). The denominator below is an engineering estimate of the
+reference pipeline on one A100: 32 Python-driven forwards of the ~200M
+gathered-attention model at bs16 (fp32/TF32, per-step host sync +
+schedule math) plus the Conv3d decode — ~5.3 s/batch => ~3.0 videos/s.
+Treat vs_baseline as indicative until the reference is timed directly.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_VIDEOS_PER_SEC = 3.0  # estimated reference A100 throughput
+
+
+def build():
+    from mebt_tpu.models.mebt import MeBT, MeBTConfig
+    from mebt_tpu.models.vqgan import VQGAN, VQGANConfig
+    from __graft_entry__ import _canonical_mode
+
+    cfg = MeBTConfig(
+        vocab_size=16384,
+        block_size=1024,
+        n_layer=24,
+        n_head=16,
+        n_embd=1024,
+        sos_emb=256,
+        mode=_canonical_mode(),
+        latent_shape=(4, 16, 16),
+        dtype=jnp.bfloat16,
+    )
+    model = MeBT(cfg)
+
+    rng = jax.random.key(0)
+    shapes = jax.eval_shape(
+        lambda r: model.init(
+            r,
+            jnp.zeros((1, cfg.seq_len), jnp.int32),
+            jnp.zeros((1, cfg.seq_len), bool),
+            jnp.zeros((1, cfg.seq_len), bool),
+        ),
+        rng,
+    )["params"]
+    keys = iter(
+        jax.random.split(jax.random.key(1), len(jax.tree.leaves(shapes)))
+    )
+    params = jax.tree.map(
+        lambda s: (jax.random.normal(next(keys), s.shape, jnp.float32) * 0.02),
+        shapes,
+    )
+
+    vq_cfg = VQGANConfig(
+        embedding_dim=256, n_codes=16384, n_hiddens=32, downsample=(4, 8, 8),
+        dtype=jnp.bfloat16,
+    )
+    vqgan = VQGAN.create(
+        jax.random.key(2), vq_cfg, example_shape=(1, 4, 32, 32, 3)
+    )
+    return model, params, vqgan
+
+
+def main():
+    from mebt_tpu.sampler.decode import maskgit_sample
+    from mebt_tpu.sampler.mask_schedule import maskgit_plan
+
+    B = 16
+    n_steps = 32
+    model, params, vqgan = build()
+    N = model.config.seq_len
+    plan = maskgit_plan(N, n_steps, schedule="cosine", ctemp_schedule="linear")
+
+    decode_pixels = jax.jit(lambda codes: vqgan.decode(codes))
+
+    def generate(rng):
+        state = maskgit_sample(
+            model, params, rng, B, plan,
+            temperature=1.0, context_temperature=8.0,
+        )
+        codes = state.codes.reshape(B, *model.config.latent_shape)
+        return decode_pixels(codes)
+
+    # warmup / compile
+    out = generate(jax.random.key(10))
+    out.block_until_ready()
+
+    runs = 3
+    t0 = time.perf_counter()
+    for i in range(runs):
+        out = generate(jax.random.key(100 + i))
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / runs
+
+    videos_per_sec = B / dt
+    print(
+        json.dumps(
+            {
+                "metric": "stl16f_generation_throughput",
+                "value": round(videos_per_sec, 3),
+                "unit": "videos/sec/chip",
+                "vs_baseline": round(videos_per_sec / BASELINE_VIDEOS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -217,8 +217,11 @@ class Normalize(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # 32 groups in every real config; clamp only so tiny test models
+        # (channels < 32) remain constructible.
+        groups = min(32, x.shape[-1])
         return nn.GroupNorm(
-            num_groups=32, epsilon=1e-6, dtype=self.dtype
+            num_groups=groups, epsilon=1e-6, dtype=self.dtype
         )(x)
 
 

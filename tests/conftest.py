@@ -15,3 +15,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# The environment's PJRT plugin may force-register its own platform and
+# override JAX_PLATFORMS; pin the CPU backend explicitly.
+jax.config.update("jax_platforms", "cpu")
