@@ -1,0 +1,167 @@
+"""Data pipeline tests on synthetic fixtures."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mebt_tpu.data.datasets import (
+    FrameListDataset,
+    HDF5PreprocessedDataset,
+    HDF5VTokensDataset,
+    VideoData,
+)
+from mebt_tpu.data.loader import DataLoader
+
+
+@pytest.fixture
+def frame_folder(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    paths = []
+    # two contiguous clips of 10 frames, one clip with a frame jump
+    for vid, frames in [("clipA", range(10)), ("clipB", range(10))]:
+        d = tmp_path / "frames"
+        d.mkdir(exist_ok=True)
+        for i in frames:
+            p = d / f"{vid}_{i:04d}.png"
+            Image.fromarray(
+                rng.integers(0, 255, size=(20, 24, 3), dtype=np.uint8)
+            ).save(p)
+            paths.append(str(p))
+    # discontinuous clip: frames 0..4 then 7..11 (splits into two runs,
+    # each shorter than 8 -> dropped)
+    d = tmp_path / "frames"
+    for i in list(range(5)) + list(range(7, 12)):
+        p = d / f"clipC_{i:04d}.png"
+        Image.fromarray(np.zeros((20, 24, 3), np.uint8)).save(p)
+        paths.append(str(p))
+    (tmp_path / "train.txt").write_text("\n".join(paths))
+    (tmp_path / "test.txt").write_text("\n".join(paths))
+    return tmp_path
+
+
+def test_frame_list_dataset(frame_folder):
+    ds = FrameListDataset(
+        str(frame_folder),
+        sequence_length=8,
+        resolution=16,
+        latent_shape=(2, 4, 4),
+        seed=0,
+    )
+    # clipC splits into two 5-frame runs, both < 8 -> only A and B remain
+    assert len(ds) == 2
+    item = ds[0]
+    v = item["video"]
+    assert v.shape == (8, 16, 16, 3)
+    assert v.dtype == np.float32
+    assert v.min() >= -0.5 and v.max() <= 0.5
+    perm = item["indices"]
+    assert sorted(perm.tolist()) == list(range(32))
+
+
+def test_frame_list_discontinuity_kept_when_long(tmp_path):
+    from PIL import Image
+
+    d = tmp_path / "f"
+    d.mkdir()
+    paths = []
+    # one clip with a jump: 0..9 then 20..29 -> two runs of 10 each
+    for i in list(range(10)) + list(range(20, 30)):
+        p = d / f"v_{i:04d}.png"
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(p)
+        paths.append(str(p))
+    (tmp_path / "train.txt").write_text("\n".join(paths))
+    ds = FrameListDataset(
+        str(tmp_path), sequence_length=8, resolution=8, latent_shape=(4,)
+    )
+    assert len(ds) == 2
+    assert ds.n_discontinuous == 1
+
+
+def test_loader_batches_and_sharding(frame_folder):
+    ds = FrameListDataset(
+        str(frame_folder), sequence_length=4, resolution=8,
+        latent_shape=(1, 2, 2), seed=0,
+    )
+    loader = DataLoader(ds, batch_size=2, num_workers=2, drop_last=True)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 2
+    b = batches[0]
+    assert b["video"].shape == (2, 4, 8, 8, 3)
+    assert b["indices"].shape == (2, 4)
+
+    # two-process sharding covers disjoint (padded) index sets
+    l0 = DataLoader(
+        ds, batch_size=1, shuffle=False, process_index=0, process_count=2,
+        drop_last=False,
+    )
+    l1 = DataLoader(
+        ds, batch_size=1, shuffle=False, process_index=1, process_count=2,
+        drop_last=False,
+    )
+    i0 = l0._epoch_indices().tolist()
+    i1 = l1._epoch_indices().tolist()
+    assert len(i0) == len(i1)
+    assert not (set(i0) & set(i1)) or len(ds) % 2 == 1
+
+
+def test_hdf5_preprocessed(tmp_path):
+    import h5py
+
+    f = tmp_path / "d.hdf5"
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 255, size=(30, 8, 8, 3), dtype=np.uint8)
+    idx = np.array([0, 12, 18, 30], np.int64)  # clips of 12, 6, 12 frames
+    with h5py.File(f, "w") as h:
+        h["train_data"] = frames
+        h["train_idx"] = idx
+        h["test_data"] = frames
+        h["test_idx"] = idx
+    ds = HDF5PreprocessedDataset(
+        str(f), sequence_length=8, resolution=8, latent_shape=(2, 2, 2),
+        seed=0,
+    )
+    # 6-frame clip dropped (not > 8)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["video"].shape == (8, 8, 8, 3)
+    assert item["video"].min() >= -0.5
+
+
+def test_hdf5_vtokens(tmp_path):
+    import h5py
+
+    f = tmp_path / "t.hdf5"
+    rng = np.random.default_rng(2)
+    tokens = rng.integers(0, 64, size=(40, 4, 4), dtype=np.int64)
+    idx = np.array([0, 20, 40], np.int64)
+    with h5py.File(f, "w") as h:
+        h["train_data"] = tokens
+        h["train_idx"] = idx
+        h["test_data"] = tokens
+        h["test_idx"] = idx
+    ds = HDF5VTokensDataset(
+        str(f), sequence_length=4, resolution=4, spatial_length=4,
+        latent_shape=(4, 4, 4), seed=0,
+    )
+    item = ds[0]
+    assert item["codes"].shape == (4, 4, 4)
+    assert item["codes"].dtype == np.int64
+
+
+def test_videodata_dispatch(frame_folder):
+    cfg = {
+        "data_path": str(frame_folder),
+        "sequence_length": 4,
+        "resolution": 8,
+        "batch_size": 2,
+        "num_workers": 1,
+        "image_folder": True,
+        "latent_shape": [1, 2, 2],
+    }
+    vd = VideoData(cfg)
+    loader = vd.train_dataloader()
+    batch = next(iter(loader))
+    assert batch["video"].shape == (2, 4, 8, 8, 3)
