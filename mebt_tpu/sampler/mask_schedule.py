@@ -115,8 +115,16 @@ class TrainMasks:
     tgt_mask: np.ndarray  # (B, N) bool
     seq_len: int  # tokens in the sampled temporal window
     n_targets: int
+    n_contexts: int
     t: float
     window: tuple[int, int]  # (start_frame, n_frames)
+
+    @property
+    def masked_weight(self) -> float:
+        """NT_weight = window length - contexts (reference
+        transformer.py:259) — the number of *masked* tokens, which can
+        exceed n_targets when the budget caps the predicted set."""
+        return float(self.seq_len - self.n_contexts)
 
 
 @dataclass
@@ -225,6 +233,7 @@ class MaskGen:
             tgt_mask=tgt_mask,
             seq_len=seq_len,
             n_targets=n_targets,
+            n_contexts=n_contexts,
             t=float(t),
             window=(start_t, T),
         )
