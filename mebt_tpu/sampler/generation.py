@@ -1,0 +1,242 @@
+"""Batch video generation drivers (the L5 surface over the decode engine).
+
+Behavioural reference: sample_vqgan_transformer_videos.py
+(bidirect_sample:22-93, extrapolate:95-157) and
+draft_and_revise_videos.py (sample:22-61).
+
+All sizes arrive in *pixel frames* and are converted to latent frames by
+the VQGAN's temporal downsample (the reference hardcodes ratio=0.25).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mebt_tpu.models.mebt import MeBT
+from mebt_tpu.models.vqgan import VQGAN
+from mebt_tpu.sampler.decode import (
+    draft_and_revise,
+    maskgit_sample,
+)
+from mebt_tpu.sampler.mask_schedule import bootstrap_plan, maskgit_plan
+
+
+@dataclass
+class GenerationResult:
+    samples: np.ndarray  # (B, T, H, W, C) float in [0, 1]
+    code_maps: np.ndarray  # (B, t, h, w) int64
+    score: np.ndarray  # (B,) sum log prob over the first window
+
+
+def _decode_pixels(vqgan: VQGAN, codes_bthw: jax.Array) -> np.ndarray:
+    """VQGAN decode + clamp to [0,1] (reference sample script:75-83).
+    Returns (B, T, H, W, C)."""
+    pix = jax.jit(vqgan.decode)(codes_bthw)  # (B, C, T, H, W)
+    pix = jnp.clip(pix, -0.5, 0.5) + 0.5
+    return np.moveaxis(np.asarray(pix, np.float32), 1, -1)
+
+
+def bidirect_generate(
+    model: MeBT,
+    params,
+    vqgan: VQGAN,
+    rng: jax.Array,
+    batch_size: int,
+    *,
+    total_length: int,
+    step_size: int,
+    context_size: int,
+    temperature: float = 1.0,
+    top_k: int | None = None,
+    top_p: float | None = None,
+    vid_n_steps: int = 8,
+    vid_c_temp: float = 4.5,
+    ctemp_schedule: str = "linear",
+    strategy: str = "maskgit",
+    schedule: str = "cosine",
+    bootstrap: int = 0,
+) -> GenerationResult:
+    """MaskGIT generation with the sliding-window long-video loop."""
+    T, h, w = model.config.latent_shape
+    ratio = 1.0 / (vqgan.config.downsample[0] if vqgan else 4)
+    step_lat = int(step_size * ratio)
+    ctx_lat = int(context_size * ratio)
+    total_lat = int(total_length * ratio)
+    assert step_lat == T, (
+        f"step_size {step_size} must map to the model window ({T} latent "
+        f"frames), got {step_lat}"
+    )
+    num_pos = h * w
+    N = T * num_pos
+    B = batch_size
+
+    # first window
+    state = None
+    if bootstrap > 0:
+        rng, r = jax.random.split(rng)
+        state = maskgit_sample(
+            model, params, r, B, bootstrap_plan(N, bootstrap),
+            temperature=1.0, strategy="bootstrap",
+            context_temperature=vid_c_temp,
+        )
+    rng, r = jax.random.split(rng)
+    plan = maskgit_plan(N, vid_n_steps, schedule, ctemp_schedule,
+                        n_ctx_init=0 if state is None else bootstrap)
+    state = maskgit_sample(
+        model, params, r, B, plan,
+        codes=None if state is None else state.codes,
+        ctx_mask=None if state is None else state.ctx_mask,
+        temperature=temperature, top_k=top_k, top_p=top_p,
+        context_temperature=vid_c_temp, strategy=strategy,
+    )
+    # per-sample score: sum log prob of each token at its final sampling
+    # (reference sample script:85-91; first window only)
+    score = np.asarray(
+        jnp.sum(jnp.log(state.chosen_prob), axis=-1), np.float64
+    )
+
+    codes = np.zeros((B, max(total_lat, T), h, w), np.int64)
+    codes[:, :T] = np.asarray(state.codes).reshape(B, T, h, w)
+    curr = T
+
+    if total_lat > T:
+        shift_plan = maskgit_plan(
+            N, vid_n_steps, schedule, ctemp_schedule,
+            n_ctx_init=ctx_lat * num_pos,
+        )
+        ctx_mask = np.zeros((B, N), bool)
+        ctx_mask[:, : ctx_lat * num_pos] = True
+        ctx_mask = jnp.asarray(ctx_mask)
+        while curr < total_lat:
+            window = np.zeros((B, T, h, w), np.int64)
+            window[:, :ctx_lat] = codes[:, curr - ctx_lat : curr]
+            rng, r = jax.random.split(rng)
+            state = maskgit_sample(
+                model, params, r, B, shift_plan,
+                codes=jnp.asarray(window.reshape(B, N), jnp.int32),
+                ctx_mask=ctx_mask,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                context_temperature=vid_c_temp, strategy=strategy,
+            )
+            fresh = np.asarray(state.codes).reshape(B, T, h, w)[:, ctx_lat:]
+            take = min(T - ctx_lat, total_lat - curr)
+            codes[:, curr : curr + take] = fresh[:, :take]
+            curr += take
+
+    codes = codes[:, :total_lat]
+    samples = _decode_pixels(vqgan, jnp.asarray(codes))[:, :total_length]
+    return GenerationResult(samples=samples, code_maps=codes, score=score)
+
+
+def extrapolate_generate(
+    model: MeBT,
+    params,
+    vqgan: VQGAN,
+    rng: jax.Array,
+    vq_input: np.ndarray,  # (B, T_lat, h, w) seed codes
+    *,
+    total_length: int,
+    step_size: int,
+    context_size: int,
+    temperature: float = 1.0,
+    top_k: int | None = None,
+    top_p: float | None = None,
+    vid_n_steps: int = 8,
+    vid_c_temp: float = 4.5,
+    ctemp_schedule: str = "linear",
+    schedule: str = "cosine",
+) -> GenerationResult:
+    """Extend an existing codemap by repeated window shifts
+    (reference extrapolate:95-157, the `edit=True` path: the schedule is
+    computed against the editable region only)."""
+    T, h, w = model.config.latent_shape
+    ratio = 1.0 / (vqgan.config.downsample[0] if vqgan else 4)
+    step_lat = int(step_size * ratio)
+    ctx_lat = int(context_size * ratio)
+    total_lat = int(total_length * ratio)
+    assert vq_input.shape[1] == step_lat == T
+    B = vq_input.shape[0]
+    num_pos = h * w
+    N = T * num_pos
+    jump = step_lat - ctx_lat
+    n_jumps = int(np.ceil((total_lat - step_lat) / jump))
+
+    edit_N = (T - ctx_lat) * num_pos
+    plan = maskgit_plan(
+        N, vid_n_steps, schedule, ctemp_schedule,
+        n_ctx_init=ctx_lat * num_pos, edit_N=edit_N,
+    )
+    ctx_mask = np.zeros((B, N), bool)
+    ctx_mask[:, : ctx_lat * num_pos] = True
+    ctx_mask = jnp.asarray(ctx_mask)
+
+    chunks = [np.asarray(vq_input, np.int64)]
+    last = np.asarray(vq_input, np.int64)
+    for _ in range(n_jumps):
+        window = np.zeros((B, T, h, w), np.int64)
+        window[:, :ctx_lat] = last[:, -ctx_lat:]
+        rng, r = jax.random.split(rng)
+        state = maskgit_sample(
+            model, params, r, B, plan,
+            codes=jnp.asarray(window.reshape(B, N), jnp.int32),
+            ctx_mask=ctx_mask,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            context_temperature=vid_c_temp,
+        )
+        last = np.asarray(state.codes).reshape(B, T, h, w)
+        chunks.append(last[:, ctx_lat:].astype(np.int64))
+    codes = np.concatenate(chunks, axis=1)[:, :total_lat]
+    samples = _decode_pixels(vqgan, jnp.asarray(codes))[:, :total_length]
+    return GenerationResult(
+        samples=samples, code_maps=codes, score=np.zeros(B)
+    )
+
+
+def dnr_generate(
+    model: MeBT,
+    params,
+    vqgan: VQGAN,
+    rng: jax.Array,
+    batch_size: int,
+    *,
+    total_length: int,
+    n_draft: int = 8,
+    draft_t: float = 1.0,
+    draft_k: int | None = None,
+    draft_p: float | None = None,
+    n_revise: int = 8,
+    revise_t: float = 1.0,
+    revise_k: int | None = None,
+    revise_p: float | None = None,
+    M: int = 2,
+    draft: np.ndarray | None = None,  # (B, T_lat, h, w) to skip drafting
+) -> GenerationResult:
+    """Draft-and-revise generation (reference dnr script sample:22-61).
+    The production recipe feeds a maskgit codemap via `draft` and runs
+    revise-only."""
+    T, h, w = model.config.latent_shape
+    N = T * h * w
+    B = batch_size
+    if draft is not None:
+        codes = jnp.asarray(
+            np.asarray(draft).reshape(B, N), jnp.int32
+        )
+        skip_draft = True
+    else:
+        codes = jnp.zeros((B, N), jnp.int32)
+        skip_draft = False
+    out = draft_and_revise(
+        model, params, rng, codes,
+        n_draft=n_draft, draft_t=draft_t, draft_k=draft_k, draft_p=draft_p,
+        n_revise=n_revise, revise_t=revise_t, revise_k=revise_k,
+        revise_p=revise_p, M=M, skip_draft=skip_draft,
+    )
+    codes = np.asarray(out).reshape(B, T, h, w).astype(np.int64)
+    samples = _decode_pixels(vqgan, jnp.asarray(codes))[:, :total_length]
+    return GenerationResult(
+        samples=samples, code_maps=codes, score=np.zeros(B)
+    )
