@@ -59,14 +59,27 @@ def main(argv=None):
     model, params, vqgan = load_model_bundle(args, config)
 
     draft = None
+    postfix = ""
     if args.np_draft is not None:
         draft = np.load(args.np_draft)
+        # reference dnr script:119-132 — derive n_draft / ctemp postfix
+        # from the maskgit codemap filename so output names line up with
+        # the valid_dnr_*.sh pipelines
+        if "n_steps" in args.np_draft:
+            args.n_draft = int(
+                args.np_draft.split("VID_n_steps")[-1].split("_")[0]
+            )
+        else:
+            args.n_draft = 0
+        if "maskgit_cosine" in args.np_draft:
+            ctemp = float(args.np_draft.split("ctemp")[-1].split("_")[0][:3])
+            postfix = f"_ctemp{ctemp}"
         args.draft_t = 0.0
         args.draft_p = args.draft_k = None
 
     if args.exp_name:
         args.save = f"results/{args.exp_name}"
-    tag = save_tag(args)
+    tag = save_tag(args).replace(f"_run{args.run}", f"{postfix}_run{args.run}")
     save_dir = os.path.join(
         args.save, f"videos_{args.total_length}", args.dataset, tag
     )
