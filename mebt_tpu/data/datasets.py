@@ -139,6 +139,15 @@ class FrameListDataset(_Base):
             )
             end = start + n_interval
 
+        # native C++ decode path (csrc/frameloader.cpp): JPEG/PNG decode,
+        # center crop, resize, normalize off the GIL
+        from mebt_tpu.data import native
+
+        selected = frames_paths[start : end : self.sample_every_n_frames]
+        video = native.decode_clip(selected, self.resolution)
+        if video is not None:
+            return {"video": video, "indices": self._perm(self._rng)}
+
         frames = []
         crop = None
         for i in range(start, end, self.sample_every_n_frames):
