@@ -101,6 +101,12 @@ class MeBTTrainer:
         self.mesh = mesh if mesh is not None else make_mesh(
             model=int(exp.get("model_parallel", 1))
         )
+        # profiling: capture a Perfetto/XPlane trace of steps
+        # [profile_step, profile_step + profile_n_steps) — the rebuild's
+        # answer to the reference's commented-out `profiler='simple'`
+        # (train_transformer.py:42; SURVEY.md §5 tracing row)
+        self.profile_step = int(exp.get("profile_step", 0) or 0)
+        self.profile_n_steps = int(exp.get("profile_n_steps", 5))
         self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.logger = MetricsLogger(logdir)
@@ -257,9 +263,19 @@ class MeBTTrainer:
             for batch in train_loader:
                 if step >= max_steps:
                     break
+                if self.profile_step and step == self.profile_step:
+                    jax.profiler.start_trace(
+                        os.path.join(self.logdir, "profile")
+                    )
                 dev_batch = self.prepare_batch(batch, step)
                 state, metrics = self._jit_step(state, dev_batch)
                 step += 1
+                if (
+                    self.profile_step
+                    and step == self.profile_step + self.profile_n_steps
+                ):
+                    jax.tree.leaves(metrics)[0].block_until_ready()
+                    jax.profiler.stop_trace()
                 if step % log_every == 0:
                     m = {
                         f"train/{k}": float(v)
@@ -274,9 +290,46 @@ class MeBTTrainer:
                     self.save(state)
                 if val_every and val_loader is not None and step % val_every == 0:
                     self.validate(state, val_loader, step, val_batches)
+                if self.vis_every and step % self.vis_every == 0:
+                    self.log_samples(state, step)
             epoch += 1
         self.save(state)
         return state
+
+    def log_samples(self, state, step, n: int = 4):
+        """Sample a small video grid and log it (reference
+        on_validation_epoch_start, transformer.py:336-351: 32-step
+        cosine maskgit decode at ctemp 6.0, decode through the frozen
+        VQGAN, TensorBoard add_video; the reference's standalone
+        ImageLogger/VideoLogger callbacks, mebt/modules/callbacks.py,
+        are never registered upstream — this hook is their living
+        equivalent)."""
+        if self.vqgan is None:
+            return
+        import os
+
+        from mebt_tpu.sampler.decode import maskgit_sample
+        from mebt_tpu.sampler.mask_schedule import maskgit_plan
+        from mebt_tpu.utils.video import save_video_grid, to_uint8_frames
+
+        N = self.model_cfg.seq_len
+        plan = maskgit_plan(N, 32, "cosine", "linear")
+        out = maskgit_sample(
+            self.model, state.params, jax.random.key(step), n, plan,
+            context_temperature=6.0,
+        )
+        codes = np.asarray(out.codes).reshape(
+            n, *self.model_cfg.latent_shape
+        )
+        pix = jax.jit(self.vqgan.decode)(jnp.asarray(codes))
+        pix = np.moveaxis(
+            np.asarray(jnp.clip(pix, -0.5, 0.5) + 0.5, np.float32), 1, -1
+        )
+        grid_u8 = to_uint8_frames(pix)
+        save_video_grid(
+            pix, os.path.join(self.logdir, f"samples/step_{step}.gif")
+        )
+        self.logger.log_video(step, "sample", grid_u8)
 
     def validate(self, state, val_loader, step, max_batches: int = 8):
         """val/loss + acc metrics (reference validation_step,
