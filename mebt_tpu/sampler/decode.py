@@ -73,6 +73,7 @@ def _plan_arrays(plan: DecodePlan):
         "top_p",
         "context_temperature",
         "random_scores",
+        "score_mode",
     ),
 )
 def _maskgit_scan(
@@ -87,6 +88,7 @@ def _maskgit_scan(
     top_p: float | None,
     context_temperature: float,
     random_scores: bool,
+    score_mode: str = "prob",
 ) -> DecodeState:
     def step(state: DecodeState, xs):
         do_step, n_new, _t, ctemp_scale = xs
@@ -103,17 +105,41 @@ def _maskgit_scan(
             sampled, probs = sample_from_logits(
                 r_sample, logits, temperature, top_k, top_p
             )
-            scores = jnp.take_along_axis(
+            chosen_p = jnp.take_along_axis(
                 probs, sampled[..., None], axis=-1
             )[..., 0]
+            if score_mode == "entropy":
+                # reference entp_sample (transformer.py:503-504):
+                # s = sum(p - log(p+1e-8)); score = max_targets(s) - s,
+                # promoted with ctemp forced to 0 (pure top-k)
+                s = jnp.sum(probs - jnp.log(probs + 1e-8), axis=-1)
+                s_max = jnp.max(
+                    jnp.where(tgt_mask, s, -jnp.inf), axis=-1, keepdims=True
+                )
+                scores = s_max - s
+                ctemp = jnp.zeros(())
+            elif score_mode == "position":
+                # 'ar' strategy: reveal targets in position order
+                # (reference mask_sampler.py:239-246); keep scores
+                # positive so promote_targets' normalization preserves
+                # the ordering
+                npos = probs.shape[1]
+                scores = jnp.broadcast_to(
+                    jnp.arange(npos, 0, -1, dtype=jnp.float32) / npos,
+                    chosen_p.shape,
+                )
+                ctemp = jnp.zeros(())
+            else:
+                scores = chosen_p
+                ctemp = context_temperature * ctemp_scale
             codes = jnp.where(tgt_mask, sampled, state.codes)
-            chosen = jnp.where(tgt_mask, scores, state.chosen_prob)
+            chosen = jnp.where(tgt_mask, chosen_p, state.chosen_prob)
             promote = promote_targets(
                 r_promote,
                 scores,
                 tgt_mask,
                 n_new,
-                context_temperature * ctemp_scale,
+                ctemp,
                 random_scores=random_scores,
             )
             return DecodeState(
@@ -153,6 +179,7 @@ def maskgit_sample(
     if valid_mask is None:
         valid_mask = jnp.ones((B, N), bool)
     random_scores = strategy in ("random", "bootstrap")
+    score_mode = {"entp": "entropy", "ar": "position"}.get(strategy, "prob")
     return _maskgit_scan(
         model,
         params,
@@ -164,7 +191,15 @@ def maskgit_sample(
         top_p=None if top_p is None else float(top_p),
         context_temperature=float(context_temperature),
         random_scores=random_scores,
+        score_mode=score_mode,
     )
+
+
+def entp_sample(model, params, rng, B, plan, **kwargs):
+    """Entropy-confidence MaskGIT variant (reference entp_sample,
+    transformer.py:449-542)."""
+    kwargs["strategy"] = "entp"
+    return maskgit_sample(model, params, rng, B, plan, **kwargs)
 
 
 # -----------------------------------------------------------------------------

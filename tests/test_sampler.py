@@ -204,3 +204,26 @@ def test_revise_only_with_skip_draft():
         jnp.asarray(codes), n_revise=4, M=1, skip_draft=True,
     )
     assert out.shape == (B, N)
+
+
+def test_entp_and_ar_strategies():
+    from mebt_tpu.sampler.decode import entp_sample
+
+    model, params = _tiny_model()
+    N = model.config.seq_len
+    plan = maskgit_plan(N, 6, "cosine")
+    st = entp_sample(model, params, jax.random.key(8), 2, plan)
+    assert np.asarray(st.ctx_mask).sum(1).tolist() == [plan.n_contexts[-1]] * 2
+
+    # 'ar' reveals strictly in position order: after k steps the context
+    # must be a prefix of the position range
+    from mebt_tpu.sampler.mask_schedule import bootstrap_plan
+
+    ar_plan = bootstrap_plan(N, 10)
+    st = maskgit_sample(
+        model, params, jax.random.key(9), 1, ar_plan, strategy="ar"
+    )
+    ctx = np.asarray(st.ctx_mask)[0]
+    n = ctx.sum()
+    assert n == 10
+    assert ctx[:n].all() and not ctx[n:].any()
