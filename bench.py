@@ -24,6 +24,10 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+from mebt_tpu.utils.runtime import enable_compilation_cache
+
+enable_compilation_cache()
 import numpy as np
 
 BASELINE_VIDEOS_PER_SEC = 3.0  # estimated reference A100 throughput

@@ -99,6 +99,12 @@ class CrossAttention(nn.Module):
                 probs, deterministic=deterministic
             )
             y = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+        elif jax.default_backend() == "tpu":
+            # fused Pallas kernels keep scores/probs in VMEM
+            # (ops/attention_pallas.py); custom VJP covers training
+            from mebt_tpu.ops.attention_pallas import fused_attention
+
+            y = fused_attention(q, k, v, key_mask)
         else:
             y = masked_attention(q, k, v, key_mask)
 

@@ -1,0 +1,263 @@
+"""Pallas fused masked attention for the MeBT latent-routing shapes.
+
+Why: the XLA path materializes (B, H, NQ, NK) fp32 score and
+probability tensors in HBM; at the flagship decode shapes
+(16x16x256x1024 per layer, 24 layers) that is ~30 ms of pure HBM
+traffic per decode step. These kernels keep scores/probabilities in
+VMEM and write only the (B, H, NQ, Dh) output.
+
+Two regimes cover every routed block (models/transformer.py):
+  * small-Q / large-K (latent_enc: Q=latents, K=tokens+mask;
+    lt2l: Q=latents, K=[latents;tokens]+mask) — classic flash-style
+    streaming over K blocks with running (max, denom, acc).
+  * large-Q / small-K (latent_dec: Q=tokens, K=latents, no mask) —
+    K/V fit VMEM whole; single-pass softmax per Q block.
+
+Numerics: scores and softmax accumulate in fp32 regardless of input
+dtype (matches the XLA path's probs_dtype=fp32); fully-masked rows
+produce zero outputs exactly like ops.attention.masked_softmax.
+
+Gradients: `fused_attention` carries a custom VJP whose backward is the
+plain XLA formulation (recomputed probabilities), so training uses the
+fast forward and a standard backward.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mebt_tpu.ops.attention import masked_attention as _xla_attention
+
+NEG_BIG = -1e30
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# small-Q / large-K : flash over K blocks
+
+
+def _smallq_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_ref, l_ref,
+                   acc_ref, *, scale: float, use_mask: bool):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_BIG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # (NQ, D)
+    k = k_ref[0]  # (BK, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (NQ, BK)
+    if use_mask:
+        valid = mask_ref[0] != 0  # (1, BK) -> broadcasts over rows
+        s = jnp.where(valid, s, NEG_BIG)
+
+    m_prev = m_ref[:]  # (NQ, 1)
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)  # (NQ, BK)
+    if use_mask:
+        p = jnp.where(mask_ref[0] != 0, p, 0.0)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+    acc_ref[:] = acc
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        denom = l_ref[:]
+        denom = jnp.where(denom == 0.0, 1.0, denom)
+        o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_k"))
+def _smallq_attention(q, k, v, mask, *, scale: float, block_k: int = 4096):
+    """q: (G, NQ, D); k/v: (G, NK, D); mask: (G, NK) int8 or None."""
+    G, NQ, D = q.shape
+    NK = k.shape[1]
+    block_k = min(block_k, NK)
+    pad_k = _cdiv(NK, block_k) * block_k - NK
+    use_mask = mask is not None or pad_k > 0
+    if mask is None:
+        mask = jnp.ones((G, NK), jnp.int32)
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad_k)))
+    NKp = k.shape[1]
+    grid = (G, NKp // block_k)
+    mask3 = mask.reshape(G, 1, NKp)
+
+    return pl.pallas_call(
+        functools.partial(_smallq_kernel, scale=scale, use_mask=use_mask),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, NQ, D), lambda g, j: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda g, j: (g, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda g, j: (g, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k), lambda g, j: (g, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, NQ, D), lambda g, j: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, NQ, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((NQ, 1), jnp.float32),
+            pltpu.VMEM((NQ, 1), jnp.float32),
+            pltpu.VMEM((NQ, D), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * G * NQ * NKp * D,
+            bytes_accessed=2 * G * (NQ * D + 2 * NKp * D),
+            transcendentals=G * NQ * NKp,
+        ),
+    )(q, k, v, mask3)
+
+
+# ---------------------------------------------------------------------------
+# large-Q / small-K : K resident, single pass per Q block
+
+
+def _largeq_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (NK, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BQ, NK)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        (p / denom).astype(v_ref.dtype), v_ref[0],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q"))
+def _largeq_attention(q, k, v, *, scale: float, block_q: int = 2048):
+    """q: (G, NQ, D); k/v: (G, NK, D), NK small, no mask."""
+    G, NQ, D = q.shape
+    NK = k.shape[1]
+    block_q = min(block_q, NQ)
+    pad_q = _cdiv(NQ, block_q) * block_q - NQ
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+    NQp = q.shape[1]
+    grid = (G, NQp // block_q)
+
+    out = pl.pallas_call(
+        functools.partial(_largeq_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda g, i: (g, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NK, D), lambda g, i: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NK, D), lambda g, i: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda g, i: (g, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, NQp, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * G * NQp * NK * D,
+            bytes_accessed=2 * G * (2 * NQp * D + 2 * NK * D),
+            transcendentals=G * NQp * NK,
+        ),
+    )(q, k, v)
+    return out[:, :NQ] if pad_q else out
+
+
+# ---------------------------------------------------------------------------
+# public entry with custom VJP (backward = XLA recompute)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def fused_attention(q, k, v, key_mask):
+    """Drop-in for ops.attention.masked_attention on TPU.
+
+    q/k/v: (B, H, N*, Dh); key_mask: (B, NK) bool or None.
+    """
+    return _fused_fwd_impl(q, k, v, key_mask)
+
+
+def _fused_fwd_impl(q, k, v, key_mask):
+    B, H, NQ, D = q.shape
+    NK = k.shape[2]
+    scale = 1.0 / (D**0.5)
+    qf = q.reshape(B * H, NQ, D)
+    kf = k.reshape(B * H, NK, D)
+    vf = v.reshape(B * H, NK, D)
+
+    if NQ <= 512 and NK > NK_SMALL_LIMIT:
+        mask = None
+        if key_mask is not None:
+            mask = jnp.repeat(
+                key_mask.astype(jnp.int32), H, axis=0
+            ).reshape(B * H, NK)
+        out = _smallq_attention(qf, kf, vf, mask, scale=scale)
+    elif NK <= NK_SMALL_LIMIT and key_mask is None:
+        out = _largeq_attention(qf, kf, vf, scale=scale)
+    else:
+        return _xla_attention(q, k, v, key_mask)
+    return out.reshape(B, H, NQ, D)
+
+
+NK_SMALL_LIMIT = 512
+
+
+def _fused_fwd(q, k, v, key_mask):
+    return _fused_fwd_impl(q, k, v, key_mask), (q, k, v, key_mask)
+
+
+def _fused_bwd(res, g):
+    q, k, v, key_mask = res
+    # standard attention backward via recompute (fp32 probabilities)
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    if key_mask is not None:
+        s = jnp.where(key_mask[:, None, None, :], s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    e = jnp.exp(s - m)
+    if key_mask is not None:
+        e = jnp.where(key_mask[:, None, None, :], e, 0.0)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / jnp.where(denom == 0, 1.0, denom)
+
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32).astype(v.dtype)
+    tmp = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - tmp) * scale
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)).astype(
+        q.dtype
+    )
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)).astype(
+        k.dtype
+    )
+    return dq, dk, dv, None
+
+
+fused_attention.defvjp(_fused_fwd, _fused_bwd)

@@ -58,6 +58,49 @@ def top_p_probs(probs: jax.Array, p: float) -> jax.Array:
     return out / jnp.sum(out, axis=-1, keepdims=True)
 
 
+def sample_tokens(
+    rng: jax.Array,
+    logits: jax.Array,
+    temperature: float = 1.0,
+    top_k: int | None = None,
+    top_p: float | None = None,
+    need_probs: bool = False,
+):
+    """Sample token ids; returns (samples, chosen_prob, probs|None).
+
+    Fast path (no top_p, no full probs needed): the reference's
+    `argmax(softmax(l)/q)` with q ~ Exp(1) equals
+    `argmax(l/temp - log q)` for the SAME noise draw (log-softmax only
+    shifts each row by a constant), so the (B, N, V) probability tensor
+    is never materialized — at 16x1024x16384 fp32 that saves ~2 GB of
+    HBM traffic per decode step. chosen_prob comes from a logsumexp.
+    """
+    logits = logits.astype(jnp.float32) / (temperature + 1e-8)
+    if top_k is not None:
+        logits = top_k_logits(logits, int(top_k))
+
+    if top_p is None and not need_probs:
+        q = jax.random.exponential(rng, logits.shape, dtype=jnp.float32)
+        samples = jnp.argmax(logits - jnp.log(q), axis=-1).astype(jnp.int32)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        chosen_logit = jnp.take_along_axis(
+            logits, samples[..., None], axis=-1
+        )[..., 0]
+        chosen_prob = jnp.exp(chosen_logit - lse)
+        return samples, chosen_prob, None
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    if top_p is not None:
+        probs = top_p_probs(probs, float(top_p))
+    q = jax.random.exponential(rng, probs.shape, dtype=jnp.float32)
+    perturbed = jnp.where(probs > 0, probs / q, 0.0)
+    samples = jnp.argmax(perturbed, axis=-1).astype(jnp.int32)
+    chosen_prob = jnp.take_along_axis(
+        probs, samples[..., None], axis=-1
+    )[..., 0]
+    return samples, chosen_prob, probs
+
+
 def sample_from_logits(
     rng: jax.Array,
     logits: jax.Array,

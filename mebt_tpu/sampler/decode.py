@@ -29,7 +29,7 @@ import numpy as np
 from mebt_tpu.ops.sampling import (
     exact_rank_desc,
     promote_targets,
-    sample_from_logits,
+    sample_tokens,
 )
 from mebt_tpu.sampler.mask_schedule import DecodePlan
 
@@ -102,12 +102,10 @@ def _maskgit_scan(
                 tgt_mask,
             )
             rng, r_sample, r_promote = jax.random.split(state.rng, 3)
-            sampled, probs = sample_from_logits(
-                r_sample, logits, temperature, top_k, top_p
+            sampled, chosen_p, probs = sample_tokens(
+                r_sample, logits, temperature, top_k, top_p,
+                need_probs=(score_mode == "entropy"),
             )
-            chosen_p = jnp.take_along_axis(
-                probs, sampled[..., None], axis=-1
-            )[..., 0]
             if score_mode == "entropy":
                 # reference entp_sample (transformer.py:503-504):
                 # s = sum(p - log(p+1e-8)); score = max_targets(s) - s,
@@ -123,7 +121,7 @@ def _maskgit_scan(
                 # (reference mask_sampler.py:239-246); keep scores
                 # positive so promote_targets' normalization preserves
                 # the ordering
-                npos = probs.shape[1]
+                npos = chosen_p.shape[1]
                 scores = jnp.broadcast_to(
                     jnp.arange(npos, 0, -1, dtype=jnp.float32) / npos,
                     chosen_p.shape,
@@ -252,10 +250,9 @@ def _gibbs_scan(
 
         logits = model.apply({"params": params}, state.codes, ctx, tgt)
         rng, r_sample = jax.random.split(state.rng)
-        sampled, probs = sample_from_logits(
+        sampled, scores, _ = sample_tokens(
             r_sample, logits, temperature, top_k, top_p
         )
-        scores = jnp.take_along_axis(probs, sampled[..., None], axis=-1)[..., 0]
         codes = jnp.where(tgt, sampled, state.codes)
         chosen = jnp.where(tgt, scores, state.chosen_prob)
         return (
