@@ -89,6 +89,9 @@ def fake_embeddings_from_npy(
 
 
 def main(argv=None):
+    from mebt_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     import pandas as pd
 
     from mebt_tpu.data.datasets import VideoData

@@ -32,6 +32,9 @@ def build_argparser():
 
 
 def main(argv=None):
+    from mebt_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     import pandas as pd
 
     from mebt_tpu.cli.measure_fvd import (

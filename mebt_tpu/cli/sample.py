@@ -57,6 +57,9 @@ def save_tag(args) -> str:
 
 
 def main(argv=None):
+    from mebt_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
 
     from mebt_tpu.cli.common import load_model_bundle, parse_config

@@ -33,6 +33,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from mebt_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     from mebt_tpu.config import load_configs
     from mebt_tpu.data.datasets import VideoData
 

@@ -65,6 +65,9 @@ def build_argparser():
 
 
 def main(argv=None):
+    from mebt_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     from mebt_tpu.data.datasets import VideoData
     from mebt_tpu.models.vqgan import VQGANConfig
     from mebt_tpu.train.vqgan_train import VQGANTrainer
