@@ -89,7 +89,11 @@ def main():
     N = model.config.seq_len
     plan = maskgit_plan(N, n_steps, schedule="cosine", ctemp_schedule="linear")
 
-    decode_pixels = jax.jit(lambda codes: vqgan.decode(codes))
+    decode_pixels = jax.jit(
+        lambda codes: jnp.round(
+            (jnp.clip(vqgan.decode(codes), -0.5, 0.5) + 0.5) * 255.0
+        ).astype(jnp.uint8)
+    )
 
     def generate(rng):
         state = maskgit_sample(
@@ -99,15 +103,26 @@ def main():
         codes = state.codes.reshape(B, *model.config.latent_shape)
         return decode_pixels(codes)
 
+    # rbg PRNG: ~5% faster than threefry for the vocab-sized gumbel
+    # draws; i.i.d. uniforms either way (the reference uses torch's
+    # Philox — PRNG choice is not part of the algorithm)
+    def key(i):
+        return jax.random.key(i, impl="rbg")
+
     # warmup / compile
-    out = generate(jax.random.key(10))
-    out.block_until_ready()
+    out = generate(key(10))
+    np.asarray(out)  # force full execution (block_until_ready does not
+    # synchronize through the remote device tunnel)
 
     runs = 3
     t0 = time.perf_counter()
+    pending = None
     for i in range(runs):
-        out = generate(jax.random.key(100 + i))
-    out.block_until_ready()
+        out = generate(key(100 + i))  # queue batch i (async dispatch)
+        if pending is not None:
+            np.asarray(pending)  # fetch batch i-1 while i computes
+        pending = out
+    np.asarray(pending)
     dt = (time.perf_counter() - t0) / runs
 
     videos_per_sec = B / dt

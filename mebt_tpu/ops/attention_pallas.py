@@ -2,23 +2,27 @@
 
 Why: the XLA path materializes (B, H, NQ, NK) fp32 score and
 probability tensors in HBM; at the flagship decode shapes
-(16x16x256x1024 per layer, 24 layers) that is ~30 ms of pure HBM
-traffic per decode step. These kernels keep scores/probabilities in
-VMEM and write only the (B, H, NQ, Dh) output.
+(16x16x256x1024 per layer, 24 layers) that is tens of ms of HBM traffic
+per decode step. These kernels keep scores/probabilities in VMEM and
+write only the (B, H, NQ, Dh) output.
 
 Two regimes cover every routed block (models/transformer.py):
   * small-Q / large-K (latent_enc: Q=latents, K=tokens+mask;
-    lt2l: Q=latents, K=[latents;tokens]+mask) — classic flash-style
-    streaming over K blocks with running (max, denom, acc).
+    lt2l: Q=latents, K=[latents;tokens]+mask) — flash-style streaming
+    over K blocks with running (max, denom, acc).
   * large-Q / small-K (latent_dec: Q=tokens, K=latents, no mask) —
     K/V fit VMEM whole; single-pass softmax per Q block.
+
+Grid design: per-cell work is deliberately large — `heads_per_cell`
+heads are processed per grid cell (static unrolled loop) so that the
+per-cell dispatch overhead of a naive (B*H, blocks) grid is amortized.
 
 Numerics: scores and softmax accumulate in fp32 regardless of input
 dtype (matches the XLA path's probs_dtype=fp32); fully-masked rows
 produce zero outputs exactly like ops.attention.masked_softmax.
 
 Gradients: `fused_attention` carries a custom VJP whose backward is the
-plain XLA formulation (recomputed probabilities), so training uses the
+plain XLA formulation (recomputed probabilities), so training gets the
 fast forward and a standard backward.
 """
 
@@ -34,18 +38,26 @@ from jax.experimental.pallas import tpu as pltpu
 from mebt_tpu.ops.attention import masked_attention as _xla_attention
 
 NEG_BIG = -1e30
+NK_SMALL_LIMIT = 512
 
 
 def _cdiv(a, b):
     return -(-a // b)
 
 
+def _pick_hc(H: int, requested: int) -> int:
+    hc = min(requested, H)
+    while H % hc:
+        hc -= 1
+    return hc
+
+
 # ---------------------------------------------------------------------------
-# small-Q / large-K : flash over K blocks
+# small-Q / large-K : flash over K blocks, hc heads per cell
 
 
 def _smallq_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_ref, l_ref,
-                   acc_ref, *, scale: float, use_mask: bool):
+                   acc_ref, *, scale: float, use_mask: bool, hc: int):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -54,30 +66,33 @@ def _smallq_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_ref, l_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]  # (NQ, D)
-    k = k_ref[0]  # (BK, D)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (NQ, BK)
-    if use_mask:
-        valid = mask_ref[0] != 0  # (1, BK) -> broadcasts over rows
-        s = jnp.where(valid, s, NEG_BIG)
+    valid = mask_ref[0] != 0 if use_mask else None  # (1, BK)
 
-    m_prev = m_ref[:]  # (NQ, 1)
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)  # (NQ, BK)
-    if use_mask:
-        p = jnp.where(mask_ref[0] != 0, p, 0.0)
-    alpha = jnp.exp(m_prev - m_new)
-    l_new = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    acc = acc_ref[:] * alpha + jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_ref[:] = m_new
-    l_ref[:] = l_new
-    acc_ref[:] = acc
+    for h in range(hc):
+        q = q_ref[0, h]  # (NQ, D)
+        k = k_ref[0, h]  # (BK, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (NQ, BK)
+        if use_mask:
+            s = jnp.where(valid, s, NEG_BIG)
+
+        m_prev = m_ref[h]  # (NQ, 1)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        if use_mask:
+            p = jnp.where(valid, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_ref[h] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc_ref[h] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[h] = m_new
+        l_ref[h] = l_new
+        acc_ref[h] = acc
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
@@ -86,106 +101,131 @@ def _smallq_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_ref, l_ref,
         o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_k"))
-def _smallq_attention(q, k, v, mask, *, scale: float, block_k: int = 4096):
-    """q: (G, NQ, D); k/v: (G, NK, D); mask: (G, NK) int8 or None."""
-    G, NQ, D = q.shape
-    NK = k.shape[1]
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_k", "heads_per_cell")
+)
+def _smallq_attention(q, k, v, mask, *, scale: float, block_k: int = 2048,
+                      heads_per_cell: int = 8):
+    """q: (G, H, NQ, D); k/v: (G, H, NK, D); mask: (G, NK) int32 or None."""
+    G, H, NQ, D = q.shape
+    NK = k.shape[2]
+    hc = _pick_hc(H, heads_per_cell)
     block_k = min(block_k, NK)
     pad_k = _cdiv(NK, block_k) * block_k - NK
     use_mask = mask is not None or pad_k > 0
     if mask is None:
         mask = jnp.ones((G, NK), jnp.int32)
     if pad_k:
-        k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
         mask = jnp.pad(mask, ((0, 0), (0, pad_k)))
-    NKp = k.shape[1]
-    grid = (G, NKp // block_k)
-    mask3 = mask.reshape(G, 1, NKp)
+    NKp = k.shape[2]
+    n_cells = G * H // hc
+    qh = q.reshape(n_cells, hc, NQ, D)
+    kh = k.reshape(n_cells, hc, NKp, D)
+    vh = v.reshape(n_cells, hc, NKp, D)
+    maskh = jnp.repeat(
+        mask.reshape(G, 1, NKp), H // hc, axis=1
+    ).reshape(n_cells, 1, NKp)
+    grid = (n_cells, NKp // block_k)
 
-    return pl.pallas_call(
-        functools.partial(_smallq_kernel, scale=scale, use_mask=use_mask),
+    out = pl.pallas_call(
+        functools.partial(
+            _smallq_kernel, scale=scale, use_mask=use_mask, hc=hc
+        ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, NQ, D), lambda g, j: (g, 0, 0),
+            pl.BlockSpec((1, hc, NQ, D), lambda g, j: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, D), lambda g, j: (g, j, 0),
+            pl.BlockSpec((1, hc, block_k, D), lambda g, j: (g, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, D), lambda g, j: (g, j, 0),
+            pl.BlockSpec((1, hc, block_k, D), lambda g, j: (g, 0, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_k), lambda g, j: (g, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, NQ, D), lambda g, j: (g, 0, 0),
+        out_specs=pl.BlockSpec((1, hc, NQ, D), lambda g, j: (g, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, NQ, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_cells, hc, NQ, D), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((NQ, 1), jnp.float32),
-            pltpu.VMEM((NQ, 1), jnp.float32),
-            pltpu.VMEM((NQ, D), jnp.float32),
+            pltpu.VMEM((hc, NQ, 1), jnp.float32),
+            pltpu.VMEM((hc, NQ, 1), jnp.float32),
+            pltpu.VMEM((hc, NQ, D), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * G * NQ * NKp * D,
-            bytes_accessed=2 * G * (NQ * D + 2 * NKp * D),
-            transcendentals=G * NQ * NKp,
+            flops=4 * G * H * NQ * NKp * D,
+            bytes_accessed=2 * G * H * (NQ * D + 2 * NKp * D),
+            transcendentals=G * H * NQ * NKp,
         ),
-    )(q, k, v, mask3)
+    )(qh, kh, vh, maskh)
+    return out.reshape(G, H, NQ, D)
 
 
 # ---------------------------------------------------------------------------
-# large-Q / small-K : K resident, single pass per Q block
+# large-Q / small-K : K resident, single pass per Q block, hc heads/cell
 
 
-def _largeq_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0]  # (BQ, D)
-    k = k_ref[0]  # (NK, D)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BQ, NK)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=1, keepdims=True)
-    o = jax.lax.dot_general(
-        (p / denom).astype(v_ref.dtype), v_ref[0],
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = o.astype(o_ref.dtype)
+def _largeq_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hc: int):
+    for h in range(hc):
+        q = q_ref[0, h]  # (BQ, D)
+        k = k_ref[0, h]  # (NK, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (BQ, NK)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            (p / denom).astype(v_ref.dtype), v_ref[0, h],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        o_ref[0, h] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q"))
-def _largeq_attention(q, k, v, *, scale: float, block_q: int = 2048):
-    """q: (G, NQ, D); k/v: (G, NK, D), NK small, no mask."""
-    G, NQ, D = q.shape
-    NK = k.shape[1]
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "heads_per_cell")
+)
+def _largeq_attention(q, k, v, *, scale: float, block_q: int = 1024,
+                      heads_per_cell: int = 4):
+    """q: (G, H, NQ, D); k/v: (G, H, NK, D), NK small, no mask."""
+    G, H, NQ, D = q.shape
+    NK = k.shape[2]
+    hc = _pick_hc(H, heads_per_cell)
     block_q = min(block_q, NQ)
     pad_q = _cdiv(NQ, block_q) * block_q - NQ
     if pad_q:
-        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
-    NQp = q.shape[1]
-    grid = (G, NQp // block_q)
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    NQp = q.shape[2]
+    n_cells = G * H // hc
+    qh = q.reshape(n_cells, hc, NQp, D)
+    kh = k.reshape(n_cells, hc, NK, D)
+    vh = v.reshape(n_cells, hc, NK, D)
+    grid = (n_cells, NQp // block_q)
 
     out = pl.pallas_call(
-        functools.partial(_largeq_kernel, scale=scale),
+        functools.partial(_largeq_kernel, scale=scale, hc=hc),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda g, i: (g, i, 0),
+            pl.BlockSpec((1, hc, block_q, D), lambda g, i: (g, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NK, D), lambda g, i: (g, 0, 0),
+            pl.BlockSpec((1, hc, NK, D), lambda g, i: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NK, D), lambda g, i: (g, 0, 0),
+            pl.BlockSpec((1, hc, NK, D), lambda g, i: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda g, i: (g, i, 0),
+        out_specs=pl.BlockSpec((1, hc, block_q, D),
+                               lambda g, i: (g, 0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, NQp, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_cells, hc, NQp, D), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * G * NQp * NK * D,
-            bytes_accessed=2 * G * (2 * NQp * D + 2 * NK * D),
-            transcendentals=G * NQp * NK,
+            flops=4 * G * H * NQp * NK * D,
+            bytes_accessed=2 * G * H * (2 * NQp * D + 2 * NK * D),
+            transcendentals=G * H * NQp * NK,
         ),
-    )(q, k, v)
-    return out[:, :NQ] if pad_q else out
+    )(qh, kh, vh)
+    out = out.reshape(G, H, NQp, D)
+    return out[:, :, :NQ] if pad_q else out
 
 
 # ---------------------------------------------------------------------------
@@ -205,25 +245,13 @@ def _fused_fwd_impl(q, k, v, key_mask):
     B, H, NQ, D = q.shape
     NK = k.shape[2]
     scale = 1.0 / (D**0.5)
-    qf = q.reshape(B * H, NQ, D)
-    kf = k.reshape(B * H, NK, D)
-    vf = v.reshape(B * H, NK, D)
 
     if NQ <= 512 and NK > NK_SMALL_LIMIT:
-        mask = None
-        if key_mask is not None:
-            mask = jnp.repeat(
-                key_mask.astype(jnp.int32), H, axis=0
-            ).reshape(B * H, NK)
-        out = _smallq_attention(qf, kf, vf, mask, scale=scale)
-    elif NK <= NK_SMALL_LIMIT and key_mask is None:
-        out = _largeq_attention(qf, kf, vf, scale=scale)
-    else:
-        return _xla_attention(q, k, v, key_mask)
-    return out.reshape(B, H, NQ, D)
-
-
-NK_SMALL_LIMIT = 512
+        mask = None if key_mask is None else key_mask.astype(jnp.int32)
+        return _smallq_attention(q, k, v, mask, scale=scale)
+    if NK <= NK_SMALL_LIMIT and key_mask is None:
+        return _largeq_attention(q, k, v, scale=scale)
+    return _xla_attention(q, k, v, key_mask)
 
 
 def _fused_fwd(q, k, v, key_mask):

@@ -20,25 +20,18 @@ def _rand(rng, *shape):
 
 def test_smallq_flash_matches_xla_interpret():
     rng = np.random.default_rng(0)
-    G, NQ, NK, D = 2, 8, 96, 16
-    q = _rand(rng, G, NQ, D)
-    k = _rand(rng, G, NK, D)
-    v = _rand(rng, G, NK, D)
+    G, H, NQ, NK, D = 2, 4, 8, 96, 16
+    q = _rand(rng, G, H, NQ, D)
+    k = _rand(rng, G, H, NK, D)
+    v = _rand(rng, G, H, NK, D)
     mask = jnp.asarray(rng.random((G, NK)) > 0.4)
 
     with pltpu.force_tpu_interpret_mode():
         got = _smallq_attention(
             q, k, v, mask.astype(jnp.int32), scale=1.0 / np.sqrt(D),
-            block_k=32,
+            block_k=32, heads_per_cell=2,
         )
-    want = masked_attention(q[:, None], k[:, None], v[:, None],
-                            key_mask=None)
-    # reference via masked_attention with the mask, head dim faked
-    want = masked_attention(
-        q.reshape(2, 1, NQ, D), k.reshape(2, 1, NK, D),
-        v.reshape(2, 1, NK, D),
-        mask,
-    ).reshape(G, NQ, D)
+    want = masked_attention(q, k, v, mask)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
     )
@@ -46,16 +39,15 @@ def test_smallq_flash_matches_xla_interpret():
 
 def test_largeq_matches_xla_interpret():
     rng = np.random.default_rng(1)
-    G, NQ, NK, D = 2, 64, 16, 16
-    q = _rand(rng, G, NQ, D)
-    k = _rand(rng, G, NK, D)
-    v = _rand(rng, G, NK, D)
+    G, H, NQ, NK, D = 2, 4, 64, 16, 16
+    q = _rand(rng, G, H, NQ, D)
+    k = _rand(rng, G, H, NK, D)
+    v = _rand(rng, G, H, NK, D)
     with pltpu.force_tpu_interpret_mode():
-        got = _largeq_attention(q, k, v, scale=1.0 / np.sqrt(D), block_q=32)
-    want = masked_attention(
-        q.reshape(G, 1, NQ, D), k.reshape(G, 1, NK, D),
-        v.reshape(G, 1, NK, D), None,
-    ).reshape(G, NQ, D)
+        got = _largeq_attention(
+            q, k, v, scale=1.0 / np.sqrt(D), block_q=32, heads_per_cell=2
+        )
+    want = masked_attention(q, k, v, None)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
     )
