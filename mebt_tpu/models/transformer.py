@@ -149,7 +149,7 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(
-        self, latents, tokens, ctx_mask, tgt_mask, *, deterministic=True
+        self, latents, tokens, ctx_mask, tgt_mask, deterministic=True
     ):
         ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")
         ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")
@@ -231,7 +231,10 @@ class LatentTransformer(nn.Module):
 
         block_cls = Block
         if self.remat:
-            block_cls = nn.remat(Block, static_argnums=())
+            # deterministic is a Python bool branching on the dropout
+            # path — keep it static under jax.checkpoint (arg index 5
+            # counting self)
+            block_cls = nn.remat(Block, static_argnums=(5,))
         for i, mode in enumerate(modes):
             latents, tokens = block_cls(
                 mode=mode,
@@ -241,7 +244,7 @@ class LatentTransformer(nn.Module):
                 resid_pdrop=self.resid_pdrop,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(latents, tokens, ctx_mask, tgt_mask, deterministic=deterministic)
+            )(latents, tokens, ctx_mask, tgt_mask, deterministic)
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_f")(tokens)
         logits = nn.Dense(

@@ -207,3 +207,33 @@ def test_mlm_loss_normalization():
     )
     assert 0.0 <= float(m["acc1"]) <= 100.0
     assert float(m["acc5"]) >= float(m["acc1"])
+
+
+def test_remat_forward_and_grad():
+    cfg = small_config(mode=("latent_enc", "latent_dec"), n_layer=2)
+    cfg_r = MeBTConfig(**{**cfg.__dict__, "remat": True})
+    N = cfg.seq_len
+    rng = np.random.default_rng(5)
+    codes = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(1, N)), jnp.int32)
+    ctx = jnp.zeros((1, N), bool).at[:, :20].set(True)
+    tgt = ~ctx
+
+    m = MeBT(cfg)
+    mr = MeBT(cfg_r)
+    params = m.init(jax.random.key(0), codes, ctx, tgt)["params"]
+    out = m.apply({"params": params}, codes, ctx, tgt)
+    out_r = mr.apply({"params": params}, codes, ctx, tgt)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_r), rtol=1e-5, atol=1e-5
+    )
+
+    def loss(p, model):
+        o = model.apply({"params": p}, codes, ctx, tgt)
+        return jnp.sum(o**2) / N
+
+    g = jax.grad(lambda p: loss(p, m))(params)
+    gr = jax.grad(lambda p: loss(p, mr))(params)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
