@@ -29,6 +29,12 @@ def build_argparser() -> argparse.ArgumentParser:
         help="use a randomly initialized VQGAN instead of loading the "
         "checkpoint (smoke tests only)",
     )
+    p.add_argument(
+        "--multihost", action="store_true",
+        help="initialize jax.distributed from the standard coordinator "
+        "env vars before building the mesh (multi-host SPMD; replaces "
+        "the reference's Lightning DDP launch)",
+    )
     return p
 
 
@@ -40,6 +46,10 @@ def main(argv=None):
     from mebt_tpu.data.datasets import VideoData
 
     args, unknown = build_argparser().parse_known_args(argv)
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
     config = load_configs(args.base, unknown)
 
     # wire latent shape into the data config (reference

@@ -248,9 +248,20 @@ def _fused_fwd_impl(q, k, v, key_mask):
 
     if NQ <= 512 and NK > NK_SMALL_LIMIT:
         mask = None if key_mask is None else key_mask.astype(jnp.int32)
-        return _smallq_attention(q, k, v, mask, scale=scale)
+        # VMEM budget: hc * (2 double-buffered K/V blocks + fp32 score
+        # tile) must stay well under the ~16 MB scoped limit
+        if NK > 4096:
+            block_k, hc = 1024, 4
+        else:
+            block_k, hc = 2048, 8
+        return _smallq_attention(
+            q, k, v, mask, scale=scale, block_k=block_k, heads_per_cell=hc
+        )
     if NK <= NK_SMALL_LIMIT and key_mask is None:
-        return _largeq_attention(q, k, v, scale=scale)
+        block_q, hc = (1024, 4) if NQ <= 4096 else (1024, 2)
+        return _largeq_attention(
+            q, k, v, scale=scale, block_q=block_q, heads_per_cell=hc
+        )
     return _xla_attention(q, k, v, key_mask)
 
 

@@ -74,6 +74,7 @@ def _plan_arrays(plan: DecodePlan):
         "context_temperature",
         "random_scores",
         "score_mode",
+        "collect_history",
     ),
 )
 def _maskgit_scan(
@@ -89,6 +90,7 @@ def _maskgit_scan(
     context_temperature: float,
     random_scores: bool,
     score_mode: str = "prob",
+    collect_history: bool = False,
 ) -> DecodeState:
     def step(state: DecodeState, xs):
         do_step, n_new, _t, ctemp_scale = xs
@@ -148,9 +150,16 @@ def _maskgit_scan(
             )
 
         new_state = jax.lax.cond(do_step, run, lambda s: s, state)
-        return new_state, None
+        ys = (
+            (new_state.codes, new_state.ctx_mask)
+            if collect_history
+            else None
+        )
+        return new_state, ys
 
-    state, _ = jax.lax.scan(step, state, plan_arrays)
+    state, history = jax.lax.scan(step, state, plan_arrays)
+    if collect_history:
+        return state, history
     return state
 
 
@@ -169,9 +178,13 @@ def maskgit_sample(
     top_p: float | None = None,
     context_temperature: float = 4.5,
     strategy: str = "maskgit",
-) -> DecodeState:
+    return_history: bool = False,
+):
     """One MaskGIT/bootstrap/random decode pass (reference sample(),
-    transformer.py:353-447, minus the debug-history paths)."""
+    transformer.py:353-447). `return_history=True` additionally returns
+    per-step (codes, ctx_mask) — the equivalent of the reference's
+    debug=True history/context_history recording
+    (transformer.py:380-446)."""
     N = model.config.seq_len
     state = DecodeState.create(rng, B, N, codes, ctx_mask)
     if valid_mask is None:
@@ -190,6 +203,7 @@ def maskgit_sample(
         context_temperature=float(context_temperature),
         random_scores=random_scores,
         score_mode=score_mode,
+        collect_history=bool(return_history),
     )
 
 

@@ -127,6 +127,7 @@ def make_train_step(
     vqgan: VQGAN | None = None,
     avg_loss: float | None = None,
     label_smoothing: float | None = None,
+    sample_every_n_latent_frames: int = 0,
 ):
     """Build the jittable train step.
 
@@ -148,7 +149,9 @@ def make_train_step(
             codes = batch["codes"]
         else:
             codes = jax.lax.stop_gradient(
-                _encode_codes(vqgan, batch["video"])
+                _encode_codes(
+                    vqgan, batch["video"], sample_every_n_latent_frames
+                )
             )
         ctx_mask = batch["ctx_mask"]
         tgt_mask = batch["tgt_mask"]
@@ -193,14 +196,21 @@ def make_train_step(
     return step_fn
 
 
-def _encode_codes(vqgan: VQGAN, video_bthwc: jax.Array) -> jax.Array:
+def _encode_codes(
+    vqgan: VQGAN,
+    video_bthwc: jax.Array,
+    sample_every_n_latent_frames: int = 0,
+) -> jax.Array:
     """Frozen stage-1 encode to flat (B, N) codes. Matches reference
-    encode_to_z (transformer.py:683-694) with channels-last input."""
+    encode_to_z (transformer.py:683-694) with channels-last input,
+    including the optional latent-frame subsampling."""
     from mebt_tpu.models.vqgan import VQGANCore, codebook_quantize
 
     z = vqgan.core.apply(
         {"params": vqgan.params}, video_bthwc, method=VQGANCore.encode_latent
     )
     codes, _, _ = codebook_quantize(vqgan.codebook, z)
+    if sample_every_n_latent_frames > 0:
+        codes = codes[:, ::sample_every_n_latent_frames]
     B = codes.shape[0]
     return codes.reshape(B, -1).astype(jnp.int32)

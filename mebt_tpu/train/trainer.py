@@ -113,7 +113,12 @@ class MeBTTrainer:
         self._ckpt_every = int(exp.get("ckpt_every", 50_000))
         self._mgr = None
 
-        self.step_fn = make_train_step(self.model, self.tx, vqgan=self.vqgan)
+        self.step_fn = make_train_step(
+            self.model, self.tx, vqgan=self.vqgan,
+            sample_every_n_latent_frames=int(
+                mp.get("sample_every_n_latent_frames", 0) or 0
+            ),
+        )
         self._jit_step = None
         self._state_shardings = None
 

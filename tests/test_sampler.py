@@ -227,3 +227,20 @@ def test_entp_and_ar_strategies():
     n = ctx.sum()
     assert n == 10
     assert ctx[:n].all() and not ctx[n:].any()
+
+
+def test_decode_history():
+    model, params = _tiny_model()
+    N = model.config.seq_len
+    plan = maskgit_plan(N, 5, "cosine")
+    state, (codes_hist, ctx_hist) = maskgit_sample(
+        model, params, jax.random.key(11), 2, plan, return_history=True
+    )
+    assert codes_hist.shape == (5, 2, N)
+    assert ctx_hist.shape == (5, 2, N)
+    # context counts grow monotonically step over step
+    counts = np.asarray(ctx_hist).sum(-1)[:, 0]
+    assert (np.diff(counts) >= 0).all()
+    np.testing.assert_array_equal(
+        np.asarray(codes_hist[-1]), np.asarray(state.codes)
+    )
