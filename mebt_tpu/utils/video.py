@@ -48,10 +48,21 @@ def make_video_grid(video: np.ndarray, nrow: int | None = None,
 
 def save_video_grid(video: np.ndarray, fname: str, nrow: int | None = None,
                     fps: int = 20) -> None:
-    from PIL import Image
-
+    """GIF/WebP via PIL; mp4/avi via imageio when its ffmpeg backend is
+    available (reference --format choices: webp/mp4/gif/avi)."""
     grid = make_video_grid(video, nrow)
     os.makedirs(os.path.dirname(os.path.abspath(fname)), exist_ok=True)
+    ext = os.path.splitext(fname)[1].lower()
+    if ext in (".mp4", ".avi"):
+        try:
+            import imageio
+
+            imageio.mimwrite(fname, list(grid), fps=fps)
+            return
+        except Exception:
+            fname = fname[: -len(ext)] + ".gif"  # fall back to GIF
+    from PIL import Image
+
     frames = [Image.fromarray(f) for f in grid]
     frames[0].save(
         fname,
