@@ -94,11 +94,14 @@ class CrossAttention(nn.Module):
             from mebt_tpu.ops.attention import masked_softmax
 
             mask = None if key_mask is None else key_mask[:, None, None, :]
-            probs = masked_softmax(scores, mask)
+            # softmax in fp32 for stability, then bf16 for the dropout
+            # mask + PV matmul (halves the dominant HBM traffic of the
+            # training attention path)
+            probs = masked_softmax(scores, mask).astype(v.dtype)
             probs = nn.Dropout(self.attn_pdrop)(
                 probs, deterministic=deterministic
             )
-            y = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+            y = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         elif jax.default_backend() == "tpu":
             # fused Pallas kernels keep scores/probs in VMEM
             # (ops/attention_pallas.py); custom VJP covers training
