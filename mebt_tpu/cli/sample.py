@@ -40,6 +40,11 @@ def build_argparser():
         "--ctemp_schedule", type=str, default="linear",
         choices=["linear", "constant", "cosine"],
     )
+    p.add_argument(
+        "--approx_top_k", action="store_true",
+        help="TPU-accelerated approximate top-k filter (recall 0.99) "
+        "instead of the exact vocab-wide sort; ~2x faster 128f decode",
+    )
     return p
 
 
@@ -107,6 +112,7 @@ def main(argv=None):
                 ctemp_schedule=args.ctemp_schedule,
                 strategy=args.decoding_strategy, schedule=args.schedule,
                 bootstrap=args.bootstrap,
+                approx_top_k=args.approx_top_k,
             )
         else:
             seedcodes = base_np[

@@ -23,12 +23,21 @@ import jax.numpy as jnp
 NEG_INF = jnp.finfo(jnp.float32).min
 
 
-def top_k_logits(logits: jax.Array, k: int) -> jax.Array:
+def top_k_logits(logits: jax.Array, k: int, approx: bool = False) -> jax.Array:
     """Keep the k largest logits per row, set the rest to -inf.
 
     Reference: transformer.py:891-895. `k` is static.
+
+    `approx=True` uses the TPU-accelerated `approx_max_k` for the
+    threshold instead of exact top-k — exact top_k over a 16384-wide
+    vocab lowers to a full sort (~100 ms/step at 128f decode shapes),
+    while approx_max_k (recall 0.99) is near-free. The filter may then
+    rarely keep a few extra / drop a few boundary tokens.
     """
-    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    if approx:
+        kth = jax.lax.approx_max_k(logits, k, recall_target=0.99)[0][..., -1:]
+    else:
+        kth = jax.lax.top_k(logits, k)[0][..., -1:]
     return jnp.where(logits < kth, NEG_INF, logits)
 
 
@@ -65,6 +74,7 @@ def sample_tokens(
     top_k: int | None = None,
     top_p: float | None = None,
     need_probs: bool = False,
+    approx_top_k: bool = False,
 ):
     """Sample token ids; returns (samples, chosen_prob, probs|None).
 
@@ -77,7 +87,7 @@ def sample_tokens(
     """
     logits = logits.astype(jnp.float32) / (temperature + 1e-8)
     if top_k is not None:
-        logits = top_k_logits(logits, int(top_k))
+        logits = top_k_logits(logits, int(top_k), approx=approx_top_k)
 
     if top_p is None and not need_probs:
         q = jax.random.exponential(rng, logits.shape, dtype=jnp.float32)

@@ -75,6 +75,7 @@ def _plan_arrays(plan: DecodePlan):
         "random_scores",
         "score_mode",
         "collect_history",
+        "approx_top_k",
     ),
 )
 def _maskgit_scan(
@@ -91,6 +92,7 @@ def _maskgit_scan(
     random_scores: bool,
     score_mode: str = "prob",
     collect_history: bool = False,
+    approx_top_k: bool = False,
 ) -> DecodeState:
     def step(state: DecodeState, xs):
         do_step, n_new, _t, ctemp_scale = xs
@@ -107,6 +109,7 @@ def _maskgit_scan(
             sampled, chosen_p, probs = sample_tokens(
                 r_sample, logits, temperature, top_k, top_p,
                 need_probs=(score_mode == "entropy"),
+                approx_top_k=approx_top_k,
             )
             if score_mode == "entropy":
                 # reference entp_sample (transformer.py:503-504):
@@ -179,6 +182,7 @@ def maskgit_sample(
     context_temperature: float = 4.5,
     strategy: str = "maskgit",
     return_history: bool = False,
+    approx_top_k: bool = False,
 ):
     """One MaskGIT/bootstrap/random decode pass (reference sample(),
     transformer.py:353-447). `return_history=True` additionally returns
@@ -204,6 +208,7 @@ def maskgit_sample(
         random_scores=random_scores,
         score_mode=score_mode,
         collect_history=bool(return_history),
+        approx_top_k=bool(approx_top_k),
     )
 
 

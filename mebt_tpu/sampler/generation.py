@@ -67,6 +67,7 @@ def bidirect_generate(
     strategy: str = "maskgit",
     schedule: str = "cosine",
     bootstrap: int = 0,
+    approx_top_k: bool = False,
 ) -> GenerationResult:
     """MaskGIT generation with the sliding-window long-video loop."""
     T, h, w = model.config.latent_shape
@@ -100,6 +101,7 @@ def bidirect_generate(
         ctx_mask=None if state is None else state.ctx_mask,
         temperature=temperature, top_k=top_k, top_p=top_p,
         context_temperature=vid_c_temp, strategy=strategy,
+        approx_top_k=approx_top_k,
     )
     # per-sample score: sum log prob of each token at its final sampling
     # (reference sample script:85-91; first window only)
@@ -129,6 +131,7 @@ def bidirect_generate(
                 ctx_mask=ctx_mask,
                 temperature=temperature, top_k=top_k, top_p=top_p,
                 context_temperature=vid_c_temp, strategy=strategy,
+                approx_top_k=approx_top_k,
             )
             fresh = np.asarray(state.codes).reshape(B, T, h, w)[:, ctx_lat:]
             take = min(T - ctx_lat, total_lat - curr)
