@@ -263,17 +263,40 @@ class MeBTTrainer:
         step = int(jax.device_get(state.step))
         epoch = 0
         t_last = time.time()
+
+        def put(batch, s):
+            """Host mask construction + async device transfer, so the
+            upload of batch s overlaps the compute of batch s-1."""
+            db = self.prepare_batch(batch, s)
+            return jax.device_put(
+                db,
+                {
+                    k: self._batch_shardings.get(k)
+                    for k in db
+                },
+            )
+
         while step < max_steps:
             train_loader.set_epoch(epoch)
-            for batch in train_loader:
-                if step >= max_steps:
-                    break
+            it = iter(train_loader)
+            next_dev = None
+            while step < max_steps:
+                if next_dev is None:
+                    try:
+                        next_dev = put(next(it), step)
+                    except StopIteration:
+                        break
+                dev_batch = next_dev
                 if self.profile_step and step == self.profile_step:
                     jax.profiler.start_trace(
                         os.path.join(self.logdir, "profile")
                     )
-                dev_batch = self.prepare_batch(batch, step)
                 state, metrics = self._jit_step(state, dev_batch)
+                # prefetch the following batch while this step executes
+                try:
+                    next_dev = put(next(it), step + 1)
+                except StopIteration:
+                    next_dev = None
                 step += 1
                 if (
                     self.profile_step
