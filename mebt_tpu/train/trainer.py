@@ -264,16 +264,19 @@ class MeBTTrainer:
         epoch = 0
         t_last = time.time()
 
+        n_data = self.mesh.shape["data"]
+
         def put(batch, s):
             """Host mask construction + async device transfer, so the
             upload of batch s overlaps the compute of batch s-1."""
             db = self.prepare_batch(batch, s)
+            bdim = db["ctx_mask"].shape[0]
+            if bdim % n_data:
+                # batch not divisible by the data axis (tiny tests):
+                # let GSPMD place it
+                return db
             return jax.device_put(
-                db,
-                {
-                    k: self._batch_shardings.get(k)
-                    for k in db
-                },
+                db, {k: self._batch_shardings.get(k) for k in db}
             )
 
         while step < max_steps:
