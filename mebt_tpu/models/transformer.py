@@ -53,6 +53,48 @@ def default_mode_list(n_layer: int, mode: Sequence[str]) -> list[str]:
 dense_init = nn.initializers.normal(stddev=0.02)
 
 
+class HeadSplitProj(nn.Module):
+    """Dense projection emitting (B, H, N, Dh) directly. The parameter
+    tree matches nn.Dense ({kernel (D, H*Dh), bias (H*Dh,)}) so torch
+    checkpoint import is unchanged; the head split/transpose is part of
+    the einsum instead of a separate copy."""
+
+    n_head: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        out = self.n_head * self.head_dim
+        kernel = self.param("kernel", dense_init, (C, out), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (out,), jnp.float32)
+        kh = kernel.reshape(C, self.n_head, self.head_dim).astype(self.dtype)
+        bh = bias.reshape(self.n_head, 1, self.head_dim).astype(self.dtype)
+        return jnp.einsum("bnd,dhk->bhnk", x.astype(self.dtype), kh) + bh
+
+
+class HeadMergeProj(nn.Module):
+    """Output projection consuming (B, H, N, Dh) directly; parameter
+    tree matches nn.Dense ({kernel (H*Dh, D), bias (D,)})."""
+
+    n_embd: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y):
+        B, H, N, Dh = y.shape
+        kernel = self.param(
+            "kernel", dense_init, (H * Dh, self.n_embd), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.n_embd,), jnp.float32
+        )
+        kh = kernel.reshape(H, Dh, self.n_embd).astype(self.dtype)
+        out = jnp.einsum("bhnk,hkd->bnd", y, kh)
+        return out + bias.astype(self.dtype)
+
+
 class CrossAttention(nn.Module):
     """Q from `query`, K/V from `key`, boolean key mask support.
 
@@ -71,19 +113,15 @@ class CrossAttention(nn.Module):
     def __call__(self, query, key, key_mask=None, *, deterministic=True):
         B, NQ, C = query.shape
         Dh = self.n_embd // self.n_head
+        H = self.n_head
 
-        def proj(name):
-            return nn.Dense(
-                self.n_embd,
-                kernel_init=dense_init,
-                dtype=self.dtype,
-                name=name,
-            )
-
-        q = proj("query")(query).reshape(B, NQ, self.n_head, Dh)
-        k = proj("key")(key).reshape(B, key.shape[1], self.n_head, Dh)
-        v = proj("value")(key).reshape(B, key.shape[1], self.n_head, Dh)
-        q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+        # Parameters keep the torch-compatible (D, D) Dense tree layout
+        # (attn/{query,key,value,proj}/{kernel,bias}); the head split +
+        # (B, H, N, Dh) transpose is folded into the projection einsum
+        # so XLA emits no separate layout-copy ops.
+        q = HeadSplitProj(H, Dh, dtype=self.dtype, name="query")(query)
+        k = HeadSplitProj(H, Dh, dtype=self.dtype, name="key")(key)
+        v = HeadSplitProj(H, Dh, dtype=self.dtype, name="value")(key)
 
         if self.attn_pdrop > 0.0 and not deterministic:
             # Dropout on attention probabilities requires the dense-probs
@@ -111,8 +149,7 @@ class CrossAttention(nn.Module):
         else:
             y = masked_attention(q, k, v, key_mask)
 
-        y = y.transpose(0, 2, 1, 3).reshape(B, NQ, C)
-        y = proj("proj")(y)
+        y = HeadMergeProj(self.n_embd, dtype=self.dtype, name="proj")(y)
         y = nn.Dropout(self.resid_pdrop)(y, deterministic=deterministic)
         return y.astype(query.dtype)
 

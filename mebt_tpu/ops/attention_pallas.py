@@ -252,8 +252,10 @@ def _fused_fwd_impl(q, k, v, key_mask):
         # tile) must stay well under the ~16 MB scoped limit
         if NK > 4096:
             block_k, hc = 1024, 4
+        elif NK > 1024:
+            block_k, hc = 2048, 4
         else:
-            block_k, hc = 2048, 8
+            block_k, hc = 1024, 8
         return _smallq_attention(
             q, k, v, mask, scale=scale, block_k=block_k, heads_per_cell=hc
         )
