@@ -1,0 +1,78 @@
+"""Discriminator parity checks against torch primitives."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mebt_tpu.models.discriminator import (
+    BatchStatNorm,
+    NLayerDiscriminator,
+    NLayerDiscriminator3D,
+    adopt_weight,
+    hinge_d_loss,
+    vanilla_d_loss,
+)
+
+torch = pytest.importorskip("torch")
+
+
+def test_batch_stat_norm_matches_torch_train_mode():
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 6, 6, 5)).astype(np.float32)  # NHWC
+    m = BatchStatNorm()
+    p = m.init(jax.random.key(0), jnp.asarray(x))["params"]
+    got = np.asarray(m.apply({"params": p}, jnp.asarray(x)))
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))  # NCHW
+    want = F.batch_norm(
+        xt, None, None, weight=torch.ones(5), bias=torch.zeros(5),
+        training=True, eps=1e-5,
+    ).numpy()
+    want = np.transpose(want, (0, 2, 3, 1))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_conv_padding_matches_torch_output_size():
+    import torch.nn.functional as F
+
+    # torch Conv2d(k=4, s=2, padding=2) output size
+    x = torch.zeros(1, 3, 64, 64)
+    w = torch.zeros(8, 3, 4, 4)
+    out = F.conv2d(x, w, stride=2, padding=2)
+    m = NLayerDiscriminator(ndf=8, n_layers=3)
+    p = m.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    logits, feats = m.apply({"params": p}, jnp.zeros((1, 64, 64, 3)))
+    # first feature map matches torch conv output spatial size
+    assert feats[0].shape[1:3] == tuple(out.shape[2:])
+    # PatchGAN output is a spatial logit map
+    assert logits.ndim == 4 and logits.shape[-1] == 1
+    assert len(feats) == 3 + 2  # n_layers + head convs (reference res[1:])
+
+
+def test_3d_discriminator_shapes():
+    m = NLayerDiscriminator3D(ndf=8, n_layers=2)
+    x = jnp.zeros((2, 8, 32, 32, 3))
+    p = m.init(jax.random.key(0), x)["params"]
+    logits, feats = m.apply({"params": p}, x)
+    assert logits.shape[0] == 2 and logits.shape[-1] == 1
+    assert len(feats) == 4
+
+
+def test_gan_losses_match_reference_formulas():
+    r = jnp.asarray([0.5, -2.0, 3.0])
+    f = jnp.asarray([-0.5, 2.0, 0.1])
+    want_hinge = 0.5 * (
+        np.mean(np.maximum(0, 1 - np.asarray(r)))
+        + np.mean(np.maximum(0, 1 + np.asarray(f)))
+    )
+    assert float(hinge_d_loss(r, f)) == pytest.approx(want_hinge, rel=1e-6)
+    want_vanilla = 0.5 * (
+        np.mean(np.log1p(np.exp(-np.asarray(r))))
+        + np.mean(np.log1p(np.exp(np.asarray(f))))
+    )
+    assert float(vanilla_d_loss(r, f)) == pytest.approx(want_vanilla, rel=1e-5)
+    assert float(adopt_weight(jnp.int32(10), 50)) == 0.0
+    assert float(adopt_weight(jnp.int32(60), 50)) == 1.0
