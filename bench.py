@@ -114,16 +114,23 @@ def main():
     np.asarray(out)  # force full execution (block_until_ready does not
     # synchronize through the remote device tunnel)
 
-    runs = 3
-    t0 = time.perf_counter()
+    # median of 5 runs: the remote-tunnel environment adds ~10% run-to-run
+    # noise on top of stable device time
+    runs = 5
+    times = []
     pending = None
+    t0 = time.perf_counter()
     for i in range(runs):
         out = generate(key(100 + i))  # queue batch i (async dispatch)
         if pending is not None:
             np.asarray(pending)  # fetch batch i-1 while i computes
+            t1 = time.perf_counter()
+            times.append(t1 - t0)
+            t0 = t1
         pending = out
     np.asarray(pending)
-    dt = (time.perf_counter() - t0) / runs
+    times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
     videos_per_sec = B / dt
     print(
