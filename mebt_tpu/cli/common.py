@@ -50,7 +50,7 @@ def add_common_args(p):
     return p
 
 
-def load_model_bundle(args, config: Config, bf16: bool = True):
+def load_model_bundle(args, config: Config):
     """-> (model, params, vqgan). Resolves the checkpoint source."""
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     mask_shape = tuple(config.model.mask.params.shape)
