@@ -143,3 +143,36 @@ def test_trainer_loss_decreases(tiny_setup, tmp_path):
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(losses))
     assert min(losses[4:]) < losses[0]
+
+
+def test_validate_and_log_samples(tiny_setup, tmp_path):
+    import jax
+
+    from mebt_tpu.config import load_configs
+    from mebt_tpu.data.datasets import VideoData
+    from mebt_tpu.models.vqgan import VQGAN, VQGANConfig
+    from mebt_tpu.train.trainer import MeBTTrainer
+
+    _, cfg_path = tiny_setup
+    config = load_configs([str(cfg_path)])
+    vq = VQGAN.create(
+        jax.random.key(0),
+        VQGANConfig(embedding_dim=8, n_codes=64, n_hiddens=4,
+                    downsample=(2, 2, 2)),
+        example_shape=(1, 2, 8, 8, 3),
+    )
+    logdir = tmp_path / "vallog"
+    trainer = MeBTTrainer(
+        config.to_dict(), logdir=str(logdir), vqgan=vq, seed=0
+    )
+    state = trainer._shard(trainer.init_state())
+
+    config.data.latent_shape = [2, 4, 4]
+    vd = VideoData(config.data.to_dict())
+    metrics = trainer.validate(state, vd.val_dataloader(), step=1,
+                               max_batches=2)
+    assert "val/loss" in metrics and np.isfinite(metrics["val/loss"])
+
+    trainer.log_samples(state, step=1, n=2)
+    gifs = list((logdir / "samples").glob("*.gif"))
+    assert gifs
