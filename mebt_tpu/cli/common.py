@@ -131,7 +131,7 @@ def _restore_orbax_params(model: MeBT, path: str):
                 {"params": target, "step": np.zeros((), np.int32)},
             )
             return restored["params"]
-        except BaseException:
+        except Exception:
             restored = ckptr.restore(os.path.join(path, "default"))
             return restored["params"]
 

@@ -57,7 +57,8 @@ def main(argv=None):
     mask_shape = list(config.model.mask.params.shape)
     config.data.latent_shape = mask_shape
     if args.max_steps is not None:
-        config.setdefault("exp", {})
+        if "exp" not in config:
+            config.exp = {}
         config.exp.max_steps = args.max_steps
 
     data = VideoData(config.data.to_dict())

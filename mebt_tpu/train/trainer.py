@@ -88,7 +88,6 @@ class MeBTTrainer:
             max_steps=self.max_steps,
             accumulate_grad_batches=int(exp.get("accumulate_grad_batches", 1)),
         )
-        self._lr_fn = None  # for logging
         from mebt_tpu.train.train_state import lr_schedule
 
         self._lr_fn = lr_schedule(
