@@ -132,8 +132,12 @@ class MeBTTrainer:
             jnp.zeros((1, N), bool),
             jnp.zeros((1, N), bool),
         )["params"]
+        # exp.rng_impl='rbg' switches the training PRNG (dropout masks)
+        # to the hardware RBG — markedly cheaper than threefry for the
+        # (B, H, N, 256)-sized attention-dropout draws
+        impl = self.config.get("exp", {}).get("rng_impl", "threefry2x32")
         return TrainState.create(
-            jax.random.key(self.seed + 1), params, self.tx
+            jax.random.key(self.seed + 1, impl=impl), params, self.tx
         )
 
     def load_pretrained(self, state: TrainState, params) -> TrainState:
