@@ -115,7 +115,11 @@ def main(argv=None):
 
     batch0 = next(iter(loader))
     state = trainer.init_state(batch0["video"])
-    step_fn = jax.jit(trainer.make_step(), donate_argnums=(0,))
+    from mebt_tpu.utils.runtime import donation_argnums
+
+    step_fn = jax.jit(
+        trainer.make_step(), donate_argnums=donation_argnums((0,))
+    )
     logger = MetricsLogger(args.logdir)
 
     import orbax.checkpoint as ocp

@@ -176,8 +176,11 @@ class Block(nn.Module):
     """One pre-LN transformer block with a static routing mode.
 
     Reference: mebt/modules/gpt.py:143-195. ln1 normalizes both the
-    query and key streams (shared weights); the residual adds the
-    *un-normalized* query.
+    query and key streams (shared weights). NOTE the reference rebinds
+    `query = self.ln1(query)` before `x = query + attn` (gpt.py:180-184),
+    so the residual adds the *normalized* query — reproduced here
+    (verified by tests/test_reference_parity.py against the actual torch
+    module).
     """
 
     mode: str
@@ -227,9 +230,9 @@ class Block(nn.Module):
         else:
             raise ValueError(self.mode)
 
-        x = query + attn(
-            ln1(query), ln1(key), key_mask, deterministic=deterministic
-        )
+        qn = ln1(query)
+        kn = ln1(key)
+        x = qn + attn(qn, kn, key_mask, deterministic=deterministic)
         x = x + mlp(ln2(x), deterministic=deterministic)
 
         if self.mode in ("latent_enc", "latent_self", "lt2l"):

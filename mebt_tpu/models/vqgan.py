@@ -89,6 +89,53 @@ def codebook_quantize(state: CodebookState, z: jax.Array):
     return codes, embeddings_st, aux
 
 
+def _tile_to_codes(flat: jax.Array, n_codes: int, rng: jax.Array | None):
+    """Repeat rows (with small noise) until >= n_codes rows exist
+    (reference codebook.py:25-32 `_tile`)."""
+    d, dim = flat.shape
+    if d >= n_codes:
+        return flat
+    n_repeats = -(-n_codes // d)
+    std = 0.01 / np.sqrt(dim)
+    tiled = jnp.tile(flat, (n_repeats, 1))
+    if rng is not None:
+        tiled = tiled + jax.random.normal(rng, tiled.shape) * std
+    return tiled
+
+
+def codebook_init_from_data(
+    state: CodebookState,
+    z: jax.Array,
+    rng: jax.Array | None = None,
+    perm: jax.Array | None = None,
+) -> CodebookState:
+    """Data-dependent codebook init from the first training batch
+    (reference codebook.py:34-51 `_init_embeddings`): tile the flattened
+    encoder outputs up to n_codes rows, pick a random subset as the
+    initial embeddings/z_avg, and set all cluster sizes to 1.
+
+    Under a sharded jit, `z` is the global batch and `rng` must be a
+    replicated key so every shard computes the same init (supersedes the
+    reference's dist.broadcast at codebook.py:42-43).
+
+    `perm` overrides the random permutation (parity tests).
+    """
+    n_codes, dim = state.embeddings.shape
+    flat = z.reshape(-1, dim)
+    t_rng = p_rng = None
+    if rng is not None:
+        t_rng, p_rng = jax.random.split(rng)
+    y = _tile_to_codes(flat, n_codes, t_rng)
+    if perm is None:
+        perm = jax.random.permutation(p_rng, y.shape[0])
+    k_rand = y[perm[:n_codes]]
+    return CodebookState(
+        embeddings=k_rand,
+        cluster_size=jnp.ones((n_codes,), jnp.float32),
+        z_avg=k_rand,
+    )
+
+
 def codebook_ema_update(
     state: CodebookState,
     z: jax.Array,
@@ -121,13 +168,11 @@ def codebook_ema_update(
     new_emb = new_z_avg / weights[:, None]
 
     if not no_random_restart:
-        # tile inputs up to n_codes with small noise, pick a random subset
-        # (reference _tile + randperm, codebook.py:25-32, 82-85)
-        n_repeats = -(-n_codes // flat.shape[0])
-        std = 0.01 / np.sqrt(dim)
+        # tile inputs up to n_codes (noise only when tiling is needed),
+        # pick a random subset (reference _tile + randperm,
+        # codebook.py:25-32, 82-85)
         k_rng, p_rng = jax.random.split(rng)
-        tiled = jnp.tile(flat, (n_repeats, 1))
-        tiled = tiled + jax.random.normal(k_rng, tiled.shape) * std
+        tiled = _tile_to_codes(flat, n_codes, k_rng)
         perm = jax.random.permutation(p_rng, tiled.shape[0])[:n_codes]
         k_rand = tiled[perm]
         usage = (new_N >= restart_thres).astype(jnp.float32)[:, None]
@@ -336,7 +381,8 @@ class VQGANConfig:
     image_channels: int = 3
     norm_type: str = "group"
     padding_type: str = "replicate"
-    no_random_restart: bool = True
+    # argparse store_true default in the reference (vqgan.py:248)
+    no_random_restart: bool = False
     restart_thres: float = 1.0
     # loss weights (training only)
     l1_weight: float = 4.0

@@ -162,6 +162,7 @@ def promote_targets(
     n_new: jax.Array,
     context_temperature: jax.Array,
     random_scores: bool = False,
+    noise: jax.Array | None = None,
 ):
     """Promote the n_new most-confident targets to contexts.
 
@@ -178,6 +179,9 @@ def promote_targets(
       context_temperature: scalar float (traced ok) — ctemp exponent.
       random_scores: replicates strategy='random'/'bootstrap'
         (mask_sampler.py:206-208): scores ~ N(0,1), ctemp forced to 0.
+      noise: optional (B, N) Exp(1) draws replacing the internal PRNG —
+        used by parity tests to share noise with the reference
+        implementation.
 
     Returns:
       promote: (B, N) bool — positions to move from target to context.
@@ -194,8 +198,9 @@ def promote_targets(
     denom = jnp.sum(scores * tgtf, axis=-1, keepdims=True)
     prob = scores / jnp.where(denom == 0, 1.0, denom)
 
-    q = jax.random.exponential(rng, (B, N), dtype=jnp.float32)
-    perturbed = prob / (q**context_temperature)
+    if noise is None:
+        noise = jax.random.exponential(rng, (B, N), dtype=jnp.float32)
+    perturbed = prob / (noise**context_temperature)
     perturbed = jnp.where(tgt_mask, perturbed, -jnp.inf)
 
     rank = exact_rank_desc(perturbed)

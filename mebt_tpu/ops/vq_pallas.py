@@ -145,7 +145,15 @@ def nearest_code_xla(
 
 
 def nearest_code(flat_inputs: jax.Array, codebook: jax.Array) -> jax.Array:
-    """Dispatch: Pallas on TPU, chunked XLA elsewhere."""
+    """Dispatch: Pallas on TPU, chunked XLA elsewhere.
+
+    The output is discrete code indices, so the gradient is zero
+    everywhere it exists; stop_gradient keeps autodiff from trying to
+    differentiate through the Pallas kernel (pallas_call has no JVP
+    rule) when this runs inside a VQGAN training loss.
+    """
+    flat_inputs = jax.lax.stop_gradient(flat_inputs)
+    codebook = jax.lax.stop_gradient(codebook)
     platform = jax.devices()[0].platform
     if platform == "tpu":
         return nearest_code_pallas(flat_inputs, codebook)

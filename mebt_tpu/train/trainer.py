@@ -37,6 +37,7 @@ from mebt_tpu.train.train_state import (
     make_train_step,
 )
 from mebt_tpu.utils.metrics import MetricsLogger
+from mebt_tpu.utils.runtime import donation_argnums
 
 
 class MeBTTrainer:
@@ -165,7 +166,7 @@ class MeBTTrainer:
             self.step_fn,
             in_shardings=(self._state_shardings, None),
             out_shardings=(self._state_shardings, None),
-            donate_argnums=(0,),
+            donate_argnums=donation_argnums((0,)),
         )
         return jax.device_put(state, self._state_shardings)
 

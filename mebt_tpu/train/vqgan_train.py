@@ -38,6 +38,7 @@ from mebt_tpu.models.vqgan import (
     VQGANConfig,
     VQGANCore,
     codebook_ema_update,
+    codebook_init_from_data,
     codebook_quantize,
 )
 
@@ -119,7 +120,7 @@ class VQGANTrainer:
         def step_fn(state: VQGANTrainState, video):
             B, T = video.shape[0], video.shape[1]
             rng = jax.random.fold_in(state.rng, state.step)
-            r_frame, r_restart = jax.random.split(rng)
+            r_frame, r_restart, r_init = jax.random.split(rng, 3)
             frame_idx = jax.random.randint(r_frame, (B,), 0, T)
             take_frame = lambda v: jnp.take_along_axis(
                 v, frame_idx[:, None, None, None, None], axis=1
@@ -129,10 +130,29 @@ class VQGANTrainer:
                 state.step, cfg.discriminator_iter_start
             )
 
+            # ---- data-dependent codebook init on the first step
+            # (reference codebook.py:48-51: the first training forward
+            # seeds embeddings from the batch before quantizing). The
+            # init branch only executes at runtime when step == 0; the
+            # shared replicated r_init key makes every shard compute the
+            # same init (supersedes the reference's dist.broadcast).
+            def _do_init(cb):
+                z0 = core.apply(
+                    {"params": state.gen_params}, video,
+                    method=VQGANCore.encode_latent,
+                )
+                return codebook_init_from_data(
+                    cb, jax.lax.stop_gradient(z0), r_init
+                )
+
+            codebook_in = jax.lax.cond(
+                state.step == 0, _do_init, lambda cb: cb, state.codebook
+            )
+
             # ---- generator update
             def gen_loss_fn(gen_params):
                 z, codes, recon, aux = forward(
-                    gen_params, state.codebook, video
+                    gen_params, codebook_in, video
                 )
                 recon_loss = (
                     jnp.mean(jnp.abs(recon - video)) * cfg.l1_weight
@@ -212,7 +232,7 @@ class VQGANTrainer:
 
             # ---- EMA codebook update (reference codebook.py:66-89)
             codebook = codebook_ema_update(
-                state.codebook,
+                codebook_in,
                 jax.lax.stop_gradient(z),
                 codes,
                 r_restart,

@@ -1,11 +1,12 @@
 """Equivalence tests: masked full-sequence formulation vs. an independent
 variable-length (gathered) implementation of the MeBT block semantics.
 
-The gathered implementation below follows the paper's description of the
-latent-bottleneck routing (queries/keys per mode, shared pre-LN, residual
-from the un-normalized query) using explicit gathers — the formulation
-the reference uses — so that agreement demonstrates the mask-based
-rewrite is exact.
+The gathered implementation below follows the reference's block wiring
+(queries/keys per mode, shared pre-LN, residual from the *normalized*
+query — gpt.py:180-184 rebinds `query = self.ln1(query)` before
+`x = query + attn`) using explicit gathers, so that agreement
+demonstrates the mask-based rewrite is exact. Direct parity against the
+actual torch modules lives in tests/test_reference_parity.py.
 """
 
 import numpy as np
@@ -99,7 +100,8 @@ def gathered_forward(params, cfg, codes, ctx_idx, tgt_idx):
         elif mode == "maskgit":
             q = np.concatenate([ctx, tgt], 1)
             k = q
-        x = q + _attn(_ln(q, bp["ln1"]), _ln(k, bp["ln1"]), bp["attn"], cfg.n_head)
+        qn = _ln(q, bp["ln1"])
+        x = qn + _attn(qn, _ln(k, bp["ln1"]), bp["attn"], cfg.n_head)
         x = x + _mlp(_ln(x, bp["ln2"]), bp["mlp"])
         if mode in ("latent_enc", "latent_self", "lt2l"):
             latents = x

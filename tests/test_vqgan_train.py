@@ -67,6 +67,44 @@ def test_vqgan_gan_path_active():
         assert np.isfinite(float(metrics[k]))
 
 
+def test_codebook_data_init_improves_perplexity():
+    """Data-dependent init (reference codebook.py:34-51, wired at
+    step 0 in vqgan_train.py) must beat N(0,1) init on code usage:
+    embeddings seeded from actual encoder outputs give materially higher
+    perplexity on the first quantization."""
+    from mebt_tpu.models.vqgan import (
+        VQGANCore,
+        codebook_init_from_data,
+        codebook_quantize,
+    )
+
+    trainer = _tiny_trainer(disc_start=10_000)
+    rng = np.random.default_rng(3)
+    video = rng.uniform(-0.5, 0.5, size=(2, 4, 16, 16, 3)).astype(np.float32)
+    state = trainer.init_state(video)
+
+    z = trainer.core.apply(
+        {"params": state.gen_params},
+        jnp.asarray(video),
+        method=VQGANCore.encode_latent,
+    )
+    _, _, aux_rand = codebook_quantize(state.codebook, z)
+    init_cb = codebook_init_from_data(state.codebook, z, jax.random.key(7))
+    _, _, aux_data = codebook_quantize(init_cb, z)
+    assert float(aux_data["perplexity"]) > float(aux_rand["perplexity"])
+    np.testing.assert_array_equal(
+        np.asarray(init_cb.cluster_size), np.ones(32, np.float32)
+    )
+
+    # the fused step triggers the init exactly at step 0: after one step
+    # every embedding row came from (tiled) encoder outputs, not N(0,1)
+    step = jax.jit(trainer.make_step())
+    new_state, _ = step(state, jnp.asarray(video))
+    emb_norms = np.linalg.norm(np.asarray(new_state.codebook.z_avg), axis=1)
+    zflat = np.asarray(z).reshape(-1, 8)
+    assert emb_norms.max() <= np.linalg.norm(zflat, axis=1).max() * 1.1
+
+
 def test_vqgan_roundtrip_export():
     trainer = _tiny_trainer()
     rng = np.random.default_rng(2)
