@@ -26,7 +26,17 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mebt_tpu.models.transformer import LatentTransformer, dense_init
+from mebt_tpu.models.transformer import (
+    LatentTransformer,
+    dense_init,
+    staged_split,
+)
+
+
+def transformer_split(cfg: "MeBTConfig") -> int | None:
+    """Stage boundary for the staged decode, or None if the mode list is
+    not stageable (see transformer.staged_split)."""
+    return staged_split(cfg.n_layer, cfg.mode)
 
 
 @dataclass(frozen=True)
@@ -84,45 +94,25 @@ class MeBT(nn.Module):
 
     config: MeBTConfig
 
-    @nn.compact
-    def __call__(
-        self,
-        codes: jax.Array,  # (B, N) int32 — VQ code per position
-        ctx_mask: jax.Array,  # (B, N) bool — revealed positions
-        tgt_mask: jax.Array,  # (B, N) bool — positions to predict
-        *,
-        deterministic: bool = True,
-    ) -> jax.Array:
+    def setup(self):
         cfg = self.config
-        B, N = codes.shape
-
-        tok_emb = nn.Embed(
+        self.tok_emb = nn.Embed(
             cfg.vocab_size,
             cfg.n_embd,
             embedding_init=dense_init,
             dtype=cfg.dtype,
             name="tok_emb",
         )
-        mask_emb = self.param(
+        self.mask_emb = self.param(
             "mask_emb", dense_init, (1, 1, cfg.n_embd), jnp.float32
         )
-        pos_emb = self.param(
+        self.pos_emb = self.param(
             "pos_emb", dense_init, (1, cfg.block_size, cfg.n_embd), jnp.float32
         )
-        sos_emb = self.param(
+        self.sos_emb = self.param(
             "sos_emb", dense_init, (1, cfg.sos_emb, cfg.n_embd), jnp.float32
         )
-
-        tok = tok_emb(codes)
-        tokens = jnp.where(
-            ctx_mask[..., None], tok, mask_emb.astype(cfg.dtype)
-        )
-        tokens = tokens + pos_emb[:, :N].astype(cfg.dtype)
-        latents = jnp.broadcast_to(
-            sos_emb, (B, cfg.sos_emb, cfg.n_embd)
-        ).astype(cfg.dtype)
-
-        logits = LatentTransformer(
+        self.transformer = LatentTransformer(
             vocab_size=cfg.vocab_size,
             n_layer=cfg.n_layer,
             n_head=cfg.n_head,
@@ -134,8 +124,96 @@ class MeBT(nn.Module):
             dtype=cfg.dtype,
             remat=cfg.remat,
             name="transformer",
-        )(latents, tokens, ctx_mask, tgt_mask, deterministic=deterministic)
-        return logits
+        )
+
+    def _embed_canvas(self, codes, ctx_mask):
+        """Token embeddings for the full (B, N) canvas: tok_emb at
+        context positions, mask_emb elsewhere, + positional embedding
+        (reference transformer.py:255-277)."""
+        cfg = self.config
+        N = codes.shape[1]
+        tok = self.tok_emb(codes)
+        tokens = jnp.where(
+            ctx_mask[..., None], tok, self.mask_emb.astype(cfg.dtype)
+        )
+        return tokens + self.pos_emb[:, :N].astype(cfg.dtype)
+
+    def _latent_queries(self, B):
+        cfg = self.config
+        return jnp.broadcast_to(
+            self.sos_emb, (B, cfg.sos_emb, cfg.n_embd)
+        ).astype(cfg.dtype)
+
+    def __call__(
+        self,
+        codes: jax.Array,  # (B, N) int32 — VQ code per position
+        ctx_mask: jax.Array,  # (B, N) bool — revealed positions
+        tgt_mask: jax.Array,  # (B, N) bool — positions to predict
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        tokens = self._embed_canvas(codes, ctx_mask)
+        latents = self._latent_queries(codes.shape[0])
+        return self.transformer(
+            latents, tokens, ctx_mask, tgt_mask, deterministic=deterministic
+        )
+
+    def stage_a(
+        self,
+        codes: jax.Array,  # (B, N) int32
+        ctx_mask: jax.Array,  # (B, N) bool
+    ) -> jax.Array:
+        """Enc phase of the staged decode (inference only): embed the
+        full canvas and run the latent-updating blocks [0, k). Returns
+        the latent stream (B, sos_emb, D).
+
+        Valid only when `staged_split(n_layer, mode)` is not None — the
+        enc-phase blocks (latent_enc/latent_self) never modify tokens,
+        so the token stream entering the dec phase is exactly the
+        embedding array, which stage_b rebuilds compacted."""
+        cfg = self.config
+        k = transformer_split(cfg)
+        if k is None:
+            raise ValueError("mode list is not stageable; use __call__")
+        tokens = self._embed_canvas(codes, ctx_mask)
+        latents = self._latent_queries(codes.shape[0])
+        tgt_dummy = jnp.zeros_like(ctx_mask)  # enc blocks never read tgt
+        latents, _ = self.transformer.run_blocks(
+            latents, tokens, ctx_mask, tgt_dummy, 0, k
+        )
+        return latents
+
+    def stage_b_compact(
+        self,
+        latents: jax.Array,  # (B, sos_emb, D) from stage_a
+        tgt_idx: jax.Array,  # (B, M) int32 canvas positions; >=N = padding
+        tgt_valid: jax.Array,  # (B, M) bool — which slots are live targets
+    ) -> jax.Array:
+        """Dec phase on a compacted target bucket: gather the (static)
+        masked-token embeddings at `tgt_idx`, run blocks [k, n), and
+        apply the vocab head — O(M) instead of O(N) for latent_dec, lt2l
+        keys, the 16384-wide head, and downstream sampling. This is the
+        TPU analogue of the reference computing logits only for the NT
+        remaining targets (reference transformer.py:286).
+
+        Exactness: dec-phase token computation is per-token (latent_dec
+        queries latents; lt2l reads tokens only at target positions,
+        which the compact bucket contains in full), so gathered rows
+        match the dense forward bit-for-bit. Padding rows (tgt_idx >= N,
+        gather clips) flow garbage that is masked out of lt2l keys and
+        never read by callers."""
+        cfg = self.config
+        k = transformer_split(cfg)
+        if k is None:
+            raise ValueError("mode list is not stageable; use __call__")
+        idx = jnp.minimum(tgt_idx, cfg.block_size - 1)
+        pos = jnp.take(self.pos_emb[0], idx, axis=0).astype(cfg.dtype)
+        tokens = self.mask_emb.astype(cfg.dtype) + pos  # (B, M, D)
+        ctx_dummy = jnp.zeros_like(tgt_valid)  # dec blocks never read ctx
+        _, tokens = self.transformer.run_blocks(
+            latents, tokens, ctx_dummy, tgt_valid, k, None
+        )
+        return self.transformer.logits_head(tokens)
 
 
 def mlm_loss(

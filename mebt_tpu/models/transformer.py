@@ -48,6 +48,35 @@ def default_mode_list(n_layer: int, mode: Sequence[str]) -> list[str]:
     return mode
 
 
+def staged_split(n_layer: int, mode: Sequence[str]) -> int | None:
+    """Index of the first token-modifying block, or None if the mode
+    list cannot be run in two stages.
+
+    The canonical MeBT routing (configs/*/mebt_*.yaml) is an "enc phase"
+    (latent_enc / latent_self — blocks that only *read* tokens and update
+    latents) followed by a "dec phase" (latent_dec / lt2l — blocks whose
+    token computation is per-token, with no token<->token attention).
+    When that structure holds, the dec phase + vocab head can be run on a
+    compacted target bucket instead of the full canvas (the reference
+    computes logits only for the NT remaining targets,
+    transformer.py:286); see sampler/decode.py's staged scan.
+
+    Stageable iff: no `maskgit` block anywhere (full token<->token
+    self-attention would make context tokens' transformed values matter),
+    and every `latent_enc` block (which reads tokens at *context*
+    positions) comes before the first `latent_dec`.
+    """
+    modes = default_mode_list(n_layer, mode)
+    if "maskgit" in modes:
+        return None
+    if "latent_dec" not in modes:
+        return None
+    k = modes.index("latent_dec")
+    if "latent_enc" in modes[k:]:
+        return None
+    return k
+
+
 # Kernel init matching the reference: N(0, 0.02) weights, zero bias
 # (gpt.py:225-232).
 dense_init = nn.initializers.normal(stddev=0.02)
@@ -263,38 +292,68 @@ class LatentTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
 
-    @nn.compact
-    def __call__(
-        self, latents, tokens, ctx_mask, tgt_mask, *, deterministic=True
-    ):
+    def setup(self):
         modes = default_mode_list(self.n_layer, self.mode)
-        drop = nn.Dropout(self.embd_pdrop)
-        latents = drop(latents, deterministic=deterministic)
-        tokens = drop(tokens, deterministic=deterministic)
-
         block_cls = Block
         if self.remat:
             # deterministic is a Python bool branching on the dropout
             # path — keep it static under jax.checkpoint (arg index 5
             # counting self)
             block_cls = nn.remat(Block, static_argnums=(5,))
-        for i, mode in enumerate(modes):
-            latents, tokens = block_cls(
-                mode=mode,
+        self.blocks = [
+            block_cls(
+                mode=m,
                 n_embd=self.n_embd,
                 n_head=self.n_head,
                 attn_pdrop=self.attn_pdrop,
                 resid_pdrop=self.resid_pdrop,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(latents, tokens, ctx_mask, tgt_mask, deterministic)
-
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_f")(tokens)
-        logits = nn.Dense(
+            )
+            for i, m in enumerate(modes)
+        ]
+        self.drop = nn.Dropout(self.embd_pdrop)
+        self.ln_f = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_f")
+        self.head = nn.Dense(
             self.vocab_size,
             use_bias=False,
             kernel_init=dense_init,
             dtype=self.dtype,
             name="head",
-        )(x)
-        return logits.astype(jnp.float32)
+        )
+
+    def __call__(
+        self, latents, tokens, ctx_mask, tgt_mask, *, deterministic=True
+    ):
+        latents = self.drop(latents, deterministic=deterministic)
+        tokens = self.drop(tokens, deterministic=deterministic)
+        for block in self.blocks:
+            latents, tokens = block(
+                latents, tokens, ctx_mask, tgt_mask, deterministic
+            )
+        return self.logits_head(tokens)
+
+    def run_blocks(
+        self,
+        latents,
+        tokens,
+        ctx_mask,
+        tgt_mask,
+        start: int,
+        stop: int | None = None,
+        *,
+        deterministic=True,
+    ):
+        """Run blocks [start, stop) and return (latents, tokens). Used by
+        the staged decode path (inference; embedding dropout is applied
+        by __call__ only — staged callers run deterministic)."""
+        for block in self.blocks[start:stop]:
+            latents, tokens = block(
+                latents, tokens, ctx_mask, tgt_mask, deterministic
+            )
+        return latents, tokens
+
+    def logits_head(self, tokens):
+        """Final LN + bias-free vocab head (gpt.py:216-217)."""
+        x = self.ln_f(tokens)
+        return self.head(x).astype(jnp.float32)

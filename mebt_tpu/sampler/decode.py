@@ -31,7 +31,7 @@ from mebt_tpu.ops.sampling import (
     promote_targets,
     sample_tokens,
 )
-from mebt_tpu.sampler.mask_schedule import DecodePlan
+from mebt_tpu.sampler.mask_schedule import DecodePlan, plan_segments
 
 
 @flax.struct.dataclass
@@ -166,6 +166,272 @@ def _maskgit_scan(
     return state
 
 
+# -----------------------------------------------------------------------------
+# Staged decode: dec phase + head + sampling on a compacted target bucket
+# (see models/transformer.py:staged_split). The reference computes logits
+# only for the NT remaining targets (transformer.py:286, shrinking per
+# step); the dense scan above pays O(N) in latent_dec/lt2l/head/sampling
+# on every step. Staged keeps the no-host-sync scan property while
+# shrinking those terms to the bucketed target count.
+
+
+def _row_idx(x):
+    return jnp.arange(x.shape[0])[:, None]
+
+
+def compact_indices(mask: jax.Array, M: int) -> jax.Array:
+    """Pack each row's True positions (in position order) into a (B, M)
+    index array; padding slots hold N (out of range — scatters with
+    mode='drop' skip them, gathers clip). O(N) cumsum + one scatter, no
+    sorts."""
+    B, N = mask.shape
+    cs = jnp.cumsum(mask, axis=-1)
+    slot = jnp.where(mask, cs - 1, M)  # M = dropped
+    pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+    idx = jnp.full((B, M), N, jnp.int32)
+    return idx.at[_row_idx(mask), slot].set(pos, mode="drop")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model",
+        "bucket",
+        "temperature",
+        "top_k",
+        "top_p",
+        "context_temperature",
+        "score_mode",
+        "collect_history",
+        "approx_top_k",
+    ),
+)
+def _staged_confidence_scan(
+    model,
+    params,
+    state: DecodeState,
+    plan_xs,  # (do_step, n_new, n_tgt, ctemp_scale) arrays, len = segment
+    *,
+    bucket: int,
+    temperature: float,
+    top_k: int | None,
+    top_p: float | None,
+    context_temperature: float,
+    score_mode: str,
+    collect_history: bool,
+    approx_top_k: bool,
+):
+    B = state.codes.shape[0]
+
+    def step(state: DecodeState, xs):
+        do_step, n_new, n_tgt, ctemp_scale = xs
+
+        def run(state: DecodeState) -> DecodeState:
+            tgt_mask = ~state.ctx_mask
+            idx = compact_indices(tgt_mask, bucket)
+            cvalid = jnp.broadcast_to(
+                jnp.arange(bucket) < n_tgt, (B, bucket)
+            )
+            latents = model.apply(
+                {"params": params}, state.codes, state.ctx_mask,
+                method="stage_a",
+            )
+            logits = model.apply(
+                {"params": params}, latents, idx, cvalid,
+                method="stage_b_compact",
+            )
+            rng, r_sample, r_promote = jax.random.split(state.rng, 3)
+            sampled, chosen_p, probs = sample_tokens(
+                r_sample, logits, temperature, top_k, top_p,
+                need_probs=(score_mode == "entropy"),
+                approx_top_k=approx_top_k,
+            )
+            if score_mode == "entropy":
+                s = jnp.sum(probs - jnp.log(probs + 1e-8), axis=-1)
+                s_max = jnp.max(
+                    jnp.where(cvalid, s, -jnp.inf), axis=-1, keepdims=True
+                )
+                scores = s_max - s
+                ctemp = jnp.zeros(())
+            else:
+                scores = chosen_p
+                ctemp = context_temperature * ctemp_scale
+            # padding slots carry idx == N -> dropped by every scatter
+            codes = state.codes.at[_row_idx(idx), idx].set(
+                sampled, mode="drop"
+            )
+            chosen = state.chosen_prob.at[_row_idx(idx), idx].set(
+                chosen_p, mode="drop"
+            )
+            promote_c = promote_targets(
+                r_promote, scores, cvalid, n_new, ctemp
+            )
+            prom = (
+                jnp.zeros_like(state.ctx_mask)
+                .at[_row_idx(idx), idx]
+                .set(promote_c, mode="drop")
+            )
+            return DecodeState(
+                codes=codes,
+                ctx_mask=state.ctx_mask | prom,
+                chosen_prob=chosen,
+                rng=rng,
+            )
+
+        new_state = jax.lax.cond(do_step, run, lambda s: s, state)
+        ys = (
+            (new_state.codes, new_state.ctx_mask)
+            if collect_history
+            else None
+        )
+        return new_state, ys
+
+    return jax.lax.scan(step, state, plan_xs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model",
+        "bucket",
+        "temperature",
+        "top_k",
+        "top_p",
+        "collect_history",
+        "approx_top_k",
+    ),
+)
+def _staged_random_scan(
+    model,
+    params,
+    state: DecodeState,
+    plan_xs,  # (do_step, n_new)
+    *,
+    bucket: int,  # >= max n_new over the plan
+    temperature: float,
+    top_k: int | None,
+    top_p: float | None,
+    collect_history: bool,
+    approx_top_k: bool,
+):
+    """random/bootstrap strategies: promotion ignores confidence
+    (reference mask_sampler.py:206-208), so the promoted set can be
+    drawn BEFORE the forward and logits computed only at the promoted
+    positions — the sampled values at non-promoted targets are never
+    read (target positions embed as mask_emb regardless of their code).
+    For the 128f bootstrap phase (64 steps, n_new=1) this removes
+    ~99% of the dec-phase/head/sampling FLOPs per step."""
+    B = state.codes.shape[0]
+
+    def step(state: DecodeState, xs):
+        do_step, n_new = xs
+
+        def run(state: DecodeState) -> DecodeState:
+            tgt_mask = ~state.ctx_mask
+            rng, r_promote, r_sample = jax.random.split(state.rng, 3)
+            promote = promote_targets(
+                r_promote,
+                state.chosen_prob,  # ignored: random_scores draws noise
+                tgt_mask,
+                n_new,
+                jnp.zeros(()),
+                random_scores=True,
+            )
+            idx = compact_indices(promote, bucket)
+            cvalid = jnp.broadcast_to(
+                jnp.arange(bucket) < n_new, (B, bucket)
+            )
+            # forward conditions on the PRE-promotion context, exactly
+            # like the dense path (sampling happens before promotion)
+            latents = model.apply(
+                {"params": params}, state.codes, state.ctx_mask,
+                method="stage_a",
+            )
+            logits = model.apply(
+                {"params": params}, latents, idx, cvalid,
+                method="stage_b_compact",
+            )
+            sampled, chosen_p, _ = sample_tokens(
+                r_sample, logits, temperature, top_k, top_p,
+                approx_top_k=approx_top_k,
+            )
+            codes = state.codes.at[_row_idx(idx), idx].set(
+                sampled, mode="drop"
+            )
+            chosen = state.chosen_prob.at[_row_idx(idx), idx].set(
+                chosen_p, mode="drop"
+            )
+            return DecodeState(
+                codes=codes,
+                ctx_mask=state.ctx_mask | promote,
+                chosen_prob=chosen,
+                rng=rng,
+            )
+
+        new_state = jax.lax.cond(do_step, run, lambda s: s, state)
+        ys = (
+            (new_state.codes, new_state.ctx_mask)
+            if collect_history
+            else None
+        )
+        return new_state, ys
+
+    return jax.lax.scan(step, state, plan_xs)
+
+
+def _staged_sample(
+    model,
+    params,
+    state: DecodeState,
+    plan: DecodePlan,
+    *,
+    temperature: float,
+    top_k: int | None,
+    top_p: float | None,
+    context_temperature: float,
+    score_mode: str,
+    random_scores: bool,
+    collect_history: bool,
+    approx_top_k: bool,
+):
+    N = state.codes.shape[1]
+    if random_scores:
+        bucket = max(8, int(np.max(plan.n_new, initial=0)))
+        bucket = -(-bucket // 8) * 8
+        xs = (jnp.asarray(plan.do_step), jnp.asarray(plan.n_new))
+        state, history = _staged_random_scan(
+            model, params, state, xs,
+            bucket=bucket, temperature=temperature, top_k=top_k,
+            top_p=top_p, collect_history=collect_history,
+            approx_top_k=approx_top_k,
+        )
+        histories = [history]
+    else:
+        n_tgt = plan.n_targets_before(N)
+        histories = []
+        for start, stop, bucket in plan_segments(plan, N):
+            xs = (
+                jnp.asarray(plan.do_step[start:stop]),
+                jnp.asarray(plan.n_new[start:stop]),
+                jnp.asarray(n_tgt[start:stop].astype(np.int32)),
+                jnp.asarray(plan.ctemp_scale[start:stop]),
+            )
+            state, history = _staged_confidence_scan(
+                model, params, state, xs,
+                bucket=bucket, temperature=temperature, top_k=top_k,
+                top_p=top_p, context_temperature=context_temperature,
+                score_mode=score_mode, collect_history=collect_history,
+                approx_top_k=approx_top_k,
+            )
+            histories.append(history)
+    if collect_history:
+        history = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *histories
+        )
+        return state, history
+    return state
+
+
 def maskgit_sample(
     model,
     params,
@@ -183,18 +449,52 @@ def maskgit_sample(
     strategy: str = "maskgit",
     return_history: bool = False,
     approx_top_k: bool = False,
+    staged: bool | str = "auto",
 ):
     """One MaskGIT/bootstrap/random decode pass (reference sample(),
     transformer.py:353-447). `return_history=True` additionally returns
     per-step (codes, ctx_mask) — the equivalent of the reference's
     debug=True history/context_history recording
-    (transformer.py:380-446)."""
+    (transformer.py:380-446).
+
+    `staged="auto"` (default) uses the compacted two-stage forward when
+    the mode list allows it (models/transformer.py:staged_split), the
+    sequence has no out-of-window positions, and the strategy is
+    bucketable; `staged=False` forces the dense full-canvas scan (used
+    by the equivalence tests)."""
+    from mebt_tpu.models.mebt import transformer_split
+
     N = model.config.seq_len
     state = DecodeState.create(rng, B, N, codes, ctx_mask)
-    if valid_mask is None:
-        valid_mask = jnp.ones((B, N), bool)
     random_scores = strategy in ("random", "bootstrap")
     score_mode = {"entp": "entropy", "ar": "position"}.get(strategy, "prob")
+
+    use_staged = (
+        staged in (True, "auto")
+        and transformer_split(model.config) is not None
+        and valid_mask is None
+        and strategy != "ar"
+    )
+    if staged is True and not use_staged:
+        raise ValueError(
+            "staged=True requires a stageable mode list, no valid_mask, "
+            "and a non-'ar' strategy"
+        )
+    if use_staged:
+        return _staged_sample(
+            model, params, state, plan,
+            temperature=float(temperature),
+            top_k=None if top_k is None else int(top_k),
+            top_p=None if top_p is None else float(top_p),
+            context_temperature=float(context_temperature),
+            score_mode=score_mode,
+            random_scores=random_scores,
+            collect_history=bool(return_history),
+            approx_top_k=bool(approx_top_k),
+        )
+
+    if valid_mask is None:
+        valid_mask = jnp.ones((B, N), bool)
     return _maskgit_scan(
         model,
         params,
@@ -336,81 +636,3 @@ def draft_and_revise(
             top_k=revise_k, top_p=revise_p, mode="revise",
         )
     return state.codes
-
-
-# -----------------------------------------------------------------------------
-# Long-video sliding-window driver — reference sample script:22-93
-
-
-def sliding_window_sample(
-    model,
-    params,
-    rng: jax.Array,
-    B: int,
-    *,
-    total_latent_frames: int,
-    window_plan: DecodePlan,
-    shift_plan_fn,
-    context_latent_frames: int,
-    bootstrap_plan: DecodePlan | None = None,
-    temperature: float = 1.0,
-    top_k: int | None = None,
-    top_p: float | None = None,
-    context_temperature: float = 4.5,
-) -> np.ndarray:
-    """Generate a video longer than one window by fixing the trailing
-    `context_latent_frames` latent frames and regenerating the rest.
-
-    Returns host codes of shape (B, total_latent_frames, h, w).
-    """
-    T, h, w = model.config.latent_shape
-    num_pos = h * w
-    N = T * num_pos
-
-    # first window: optional bootstrap warm-up, then the main plan
-    state = None
-    if bootstrap_plan is not None and bootstrap_plan.n_steps > 0:
-        rng, r = jax.random.split(rng)
-        state = maskgit_sample(
-            model, params, r, B, bootstrap_plan,
-            temperature=temperature, top_k=top_k, top_p=top_p,
-            strategy="bootstrap",
-        )
-    rng, r = jax.random.split(rng)
-    state = maskgit_sample(
-        model, params, r, B, window_plan,
-        codes=None if state is None else state.codes,
-        ctx_mask=None if state is None else state.ctx_mask,
-        temperature=temperature, top_k=top_k, top_p=top_p,
-        context_temperature=context_temperature,
-    )
-
-    out = np.zeros((B, total_latent_frames, h, w), np.int64)
-    codes_np = np.asarray(state.codes).reshape(B, T, h, w)
-    out[:, :T] = codes_np
-    curr_t = T
-
-    ctx_T = context_latent_frames
-    step_T = T - ctx_T
-    ctx_mask_np = np.zeros((B, N), bool)
-    ctx_mask_np[:, : ctx_T * num_pos] = True
-    ctx_mask = jnp.asarray(ctx_mask_np)
-    shift_plan = shift_plan_fn(n_ctx_init=ctx_T * num_pos)
-
-    while curr_t < total_latent_frames:
-        prev = out[:, curr_t - ctx_T : curr_t]  # last ctx_T latent frames
-        codes = np.zeros((B, T, h, w), np.int64)
-        codes[:, :ctx_T] = prev
-        rng, r = jax.random.split(rng)
-        state = maskgit_sample(
-            model, params, r, B, shift_plan,
-            codes=jnp.asarray(codes.reshape(B, N), jnp.int32),
-            ctx_mask=ctx_mask,
-            temperature=temperature, top_k=top_k, top_p=top_p,
-            context_temperature=context_temperature,
-        )
-        codes_np = np.asarray(state.codes).reshape(B, T, h, w)
-        take = min(step_T, total_latent_frames - curr_t)
-        out[:, curr_t : curr_t + take] = codes_np[:, ctx_T : ctx_T + take]
-        curr_t += take
-    return out

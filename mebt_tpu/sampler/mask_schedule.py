@@ -258,6 +258,68 @@ class DecodePlan:
     n_contexts: np.ndarray  # (S,) int32 — context count AFTER the step
     t: np.ndarray  # (S,) float32 — t_next per step
     ctemp_scale: np.ndarray  # (S,) float32 — ctemp schedule multiplier
+    n_ctx_init: int = 0  # context count BEFORE the first step
+
+    def n_targets_before(self, N: int) -> np.ndarray:
+        """(S,) int — remaining target count entering each step."""
+        n_ctx_before = np.concatenate(
+            [[self.n_ctx_init], self.n_contexts[:-1]]
+        )
+        return (N - n_ctx_before).astype(np.int64)
+
+
+def plan_segments(
+    plan: DecodePlan,
+    N: int,
+    max_segments: int = 4,
+    align: int = 128,
+) -> list[tuple[int, int, int]]:
+    """Split a decode plan into contiguous step segments for the staged
+    scan, minimizing sum(len * target_bucket) over <= max_segments
+    segments (DP; the remaining-target curve is known statically).
+
+    Returns [(start, stop, bucket), ...] where `bucket` is the compact
+    target width for steps [start, stop) — the max remaining-target
+    count in the segment, rounded up to `align` and capped at N.
+    """
+    nt = plan.n_targets_before(N)
+    S = len(nt)
+    if S == 0:
+        return []
+
+    def bucket(v: int) -> int:
+        return int(min(N, -(-int(v) // align) * align))
+
+    # nt is non-increasing, so a segment's max is its first element.
+    # cost[k][i] = best cost of covering steps i.. with k segments left.
+    INF = float("inf")
+    cost = [[INF] * (S + 1) for _ in range(max_segments + 1)]
+    cut = [[S] * (S + 1) for _ in range(max_segments + 1)]
+    for k in range(max_segments + 1):
+        cost[k][S] = 0.0
+    for k in range(1, max_segments + 1):
+        for i in range(S - 1, -1, -1):
+            b = bucket(nt[i])
+            for j in range(i + 1, S + 1):
+                c = (j - i) * b + cost[k - 1][j]
+                if c < cost[k][i]:
+                    cost[k][i] = c
+                    cut[k][i] = j
+    segs = []
+    i, k = 0, max_segments
+    while i < S:
+        j = cut[k][i]
+        segs.append((i, j, bucket(nt[i])))
+        i, k = j, k - 1
+    # merge adjacent segments that ended up with the same bucket
+    merged = [segs[0]]
+    for s, e, b in segs[1:]:
+        ps, pe, pb = merged[-1]
+        if b == pb:
+            merged[-1] = (ps, e, b)
+        else:
+            merged.append((s, e, b))
+    return merged
 
 
 def maskgit_plan(
@@ -307,6 +369,7 @@ def maskgit_plan(
         n_contexts=np.asarray(n_ctx_after, dtype=np.int32),
         t=np.asarray(ts, dtype=np.float32),
         ctemp_scale=np.asarray(cts, dtype=np.float32),
+        n_ctx_init=n_ctx_init,
     )
 
 
@@ -323,4 +386,5 @@ def bootstrap_plan(N: int, n_steps: int, n_ctx_init: int = 0) -> DecodePlan:
         n_contexts=n_ctx.astype(np.int32),
         t=np.asarray(timesteps, dtype=np.float32),
         ctemp_scale=np.zeros(steps, dtype=np.float32),
+        n_ctx_init=n_ctx_init,
     )

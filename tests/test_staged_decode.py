@@ -1,0 +1,218 @@
+"""Staged (compacted-target) decode vs the dense full-canvas scan.
+
+The staged path (sampler/decode.py:_staged_sample) must be an exact
+drop-in for the dense scan: the dec-phase token computation is
+per-token, so gathering targets into a compact bucket changes nothing
+numerically. These tests pin that equivalence:
+
+  * stage_a + stage_b_compact logits == dense __call__ logits at target
+    positions (bit-exact on CPU).
+  * a full staged decode with deterministic settings (temperature -> 0,
+    ctemp = 0: argmax sampling, pure top-k promotion) produces exactly
+    the same codes and context mask as the dense scan.
+  * the random/bootstrap fast path promotes per plan and fills the
+    canvas.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mebt_tpu.models.mebt import MeBT, MeBTConfig, transformer_split
+from mebt_tpu.sampler.decode import compact_indices, maskgit_sample
+from mebt_tpu.sampler.mask_schedule import (
+    bootstrap_plan,
+    maskgit_plan,
+    plan_segments,
+)
+
+STAGEABLE_MODES = (
+    "latent_enc", "latent_self", "latent_enc", "latent_self",
+    "latent_dec", "lt2l", "latent_dec", "lt2l",
+)
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    cfg = MeBTConfig(
+        vocab_size=64,
+        block_size=48,
+        n_layer=8,
+        n_head=2,
+        n_embd=16,
+        sos_emb=8,
+        latent_shape=(3, 4, 4),
+        mode=STAGEABLE_MODES,
+    )
+    model = MeBT(cfg)
+    rng = jax.random.PRNGKey(0)
+    codes = jnp.zeros((2, cfg.seq_len), jnp.int32)
+    masks = jnp.zeros((2, cfg.seq_len), bool)
+    params = model.init(rng, codes, masks, ~masks)["params"]
+    return model, params
+
+
+def test_staged_split_detection():
+    assert transformer_split(MeBTConfig(mode=STAGEABLE_MODES, n_layer=8)) == 4
+    # canonical 24-layer routing from configs/*/mebt_*.yaml
+    canonical = (
+        ["latent_enc", "latent_self"] * 6
+        + ["latent_enc"]
+        + ["latent_dec", "lt2l"] * 5
+        + ["latent_dec"]
+    )
+    assert transformer_split(MeBTConfig(mode=tuple(canonical))) == 13
+    # maskgit fallback padding is not stageable
+    assert transformer_split(MeBTConfig(mode=("latent_enc",), n_layer=4)) is None
+    # latent_enc after latent_dec is not stageable
+    bad = ("latent_enc", "latent_dec", "latent_enc", "latent_dec")
+    assert transformer_split(MeBTConfig(mode=bad, n_layer=4)) is None
+
+
+def test_compact_indices_roundtrip():
+    rng = np.random.default_rng(0)
+    mask = rng.random((3, 17)) < 0.4
+    M = int(mask.sum(-1).max()) + 2
+    idx = np.asarray(compact_indices(jnp.asarray(mask), M))
+    for b in range(3):
+        want = np.nonzero(mask[b])[0]
+        got = idx[b][idx[b] < 17]
+        np.testing.assert_array_equal(got, want)
+        # padding slots point out of range
+        assert np.all(idx[b][len(want):] == 17)
+
+
+def test_staged_forward_matches_dense(small_model):
+    model, params = small_model
+    N = model.config.seq_len
+    B = 2
+    rng = jax.random.PRNGKey(3)
+    codes = jax.random.randint(rng, (B, N), 0, model.config.vocab_size)
+    ctx = jax.random.uniform(jax.random.PRNGKey(4), (B, N)) < 0.5
+    tgt = ~ctx
+    dense = model.apply({"params": params}, codes, ctx, tgt)
+
+    tgt_np = np.asarray(tgt)
+    M = int(tgt_np.sum(-1).max()) + 3
+    idx = compact_indices(tgt, M)
+    valid = idx < N
+    latents = model.apply({"params": params}, codes, ctx, method="stage_a")
+    compact = model.apply(
+        {"params": params}, latents, idx, valid, method="stage_b_compact"
+    )
+    dn, cn, idx_np = np.asarray(dense), np.asarray(compact), np.asarray(idx)
+    for b in range(B):
+        live = idx_np[b] < N
+        np.testing.assert_allclose(
+            cn[b][live], dn[b][idx_np[b][live]], atol=1e-5, rtol=1e-5
+        )
+
+
+@pytest.mark.parametrize("n_ctx_init", [0, 8])
+def test_staged_decode_matches_dense_deterministic(small_model, n_ctx_init):
+    """temperature -> 0 + ctemp = 0 removes all sampling noise, so the
+    staged and dense paths must produce bit-identical decodes."""
+    model, params = small_model
+    N = model.config.seq_len
+    B = 2
+    plan = maskgit_plan(N, 6, "cosine", "linear", n_ctx_init=n_ctx_init)
+    ctx0 = None
+    codes0 = None
+    if n_ctx_init:
+        ctx_np = np.zeros((B, N), bool)
+        ctx_np[:, :n_ctx_init] = True
+        ctx0 = jnp.asarray(ctx_np)
+        codes0 = jax.random.randint(
+            jax.random.PRNGKey(9), (B, N), 0, model.config.vocab_size
+        )
+    kw = dict(
+        codes=codes0, ctx_mask=ctx0,
+        temperature=0.0, context_temperature=0.0,
+    )
+    rng = jax.random.PRNGKey(7)
+    dense = maskgit_sample(model, params, rng, B, plan, staged=False, **kw)
+    stg = maskgit_sample(model, params, rng, B, plan, staged=True, **kw)
+    np.testing.assert_array_equal(np.asarray(dense.ctx_mask),
+                                  np.asarray(stg.ctx_mask))
+    np.testing.assert_array_equal(np.asarray(dense.codes),
+                                  np.asarray(stg.codes))
+    np.testing.assert_allclose(np.asarray(dense.chosen_prob),
+                               np.asarray(stg.chosen_prob), atol=1e-6)
+    # cosine leaves ceil(cos(pi/2)*N) = 1 position unpromoted at t=1
+    # (reference arithmetic); its code still holds the final-step sample
+    assert (np.asarray(stg.ctx_mask).sum(-1) == plan.n_contexts[-1]).all()
+
+
+def test_staged_entropy_decode_matches_dense(small_model):
+    """entp strategy: scores are entropy-based and promotion is pure
+    top-k (ctemp forced to 0), so greedy sampling makes it exact too."""
+    model, params = small_model
+    N = model.config.seq_len
+    plan = maskgit_plan(N, 5, "cosine")
+    rng = jax.random.PRNGKey(11)
+    kw = dict(temperature=0.0, strategy="entp")
+    dense = maskgit_sample(model, params, rng, 2, plan, staged=False, **kw)
+    stg = maskgit_sample(model, params, rng, 2, plan, staged=True, **kw)
+    np.testing.assert_array_equal(np.asarray(dense.codes),
+                                  np.asarray(stg.codes))
+    np.testing.assert_array_equal(np.asarray(dense.ctx_mask),
+                                  np.asarray(stg.ctx_mask))
+
+
+def test_staged_history_matches_dense(small_model):
+    model, params = small_model
+    N = model.config.seq_len
+    plan = maskgit_plan(N, 5, "cosine")
+    rng = jax.random.PRNGKey(13)
+    kw = dict(temperature=0.0, context_temperature=0.0, return_history=True)
+    _, hist_d = maskgit_sample(model, params, rng, 2, plan, staged=False, **kw)
+    _, hist_s = maskgit_sample(model, params, rng, 2, plan, staged=True, **kw)
+    np.testing.assert_array_equal(np.asarray(hist_d[0]), np.asarray(hist_s[0]))
+    np.testing.assert_array_equal(np.asarray(hist_d[1]), np.asarray(hist_s[1]))
+
+
+def test_staged_bootstrap_fast_path(small_model):
+    """random/bootstrap promotion ignores confidence, so the staged path
+    draws the promoted set before the forward; check plan-exact context
+    growth and that promoted positions got real samples."""
+    model, params = small_model
+    N = model.config.seq_len
+    B = 2
+    plan = bootstrap_plan(N, 10)
+    state = maskgit_sample(
+        model, params, jax.random.PRNGKey(5), B, plan,
+        strategy="bootstrap", staged=True,
+    )
+    ctx = np.asarray(state.ctx_mask)
+    assert (ctx.sum(-1) == 10).all()
+    # promoted positions must differ across rows with high probability
+    # (random order); identical rows would indicate a broken fold-in
+    assert not np.array_equal(ctx[0], ctx[1])
+    # full pipeline: bootstrap then confidence decode to completion
+    plan2 = maskgit_plan(N, 6, "cosine", n_ctx_init=10)
+    state2 = maskgit_sample(
+        model, params, jax.random.PRNGKey(6), B, plan2,
+        codes=state.codes, ctx_mask=state.ctx_mask, staged=True,
+    )
+    assert (
+        np.asarray(state2.ctx_mask).sum(-1) == plan2.n_contexts[-1]
+    ).all()
+    assert (np.asarray(state2.chosen_prob) <= 1.0 + 1e-6).all()
+
+
+def test_plan_segments_cover_and_bound():
+    plan = maskgit_plan(8192, 32, "cosine", n_ctx_init=64)
+    segs = plan_segments(plan, 8192, max_segments=4, align=128)
+    nt = plan.n_targets_before(8192)
+    assert segs[0][0] == 0 and segs[-1][1] == plan.n_steps
+    for (s, e, b), (s2, e2, b2) in zip(segs, segs[1:]):
+        assert e == s2
+        assert b > b2  # buckets strictly shrink after merging
+    for s, e, b in segs:
+        assert b >= nt[s:e].max()
+        assert b <= 8192
+    # the staged plan must beat the dense cost materially on cosine-32
+    dense_cost = plan.n_steps * 8192
+    staged_cost = sum((e - s) * b for s, e, b in segs)
+    assert staged_cost < 0.85 * dense_cost
