@@ -191,6 +191,7 @@ class MaskGen:
         t: float,
         start_t: int,
         T: int,
+        training: bool = True,
     ) -> TrainMasks:
         """Build context/target masks from per-sample permutations.
 
@@ -198,16 +199,27 @@ class MaskGen:
           perms: (B, N) int — each row a permutation of range(N), as
             produced by the data pipeline (reference data.py:85).
           t: shared mask-schedule time for the batch.
-          start_t, T: temporal window (latent frames).
+          start_t, T: temporal window (latent frames). Evaluation mode
+            (training=False) must pass the full window — the reference
+            gates window slicing on self.training
+            (mask_sampler.py:85-99).
+          training: False lifts the target budget to seq_len (reference
+            mask_sampler.py:105-111 — validation predicts every masked
+            token regardless of the training budget cap).
         """
         B, N = perms.shape
         if N != self.seq_len:
             raise ValueError(f"perm length {N} != seq_len {self.seq_len}")
+        if not training and (start_t, T) != (0, self.shape[0]):
+            raise ValueError(
+                "eval-mode masks use the full window (reference "
+                "mask_sampler.py:85-99 skips slicing when not training)"
+            )
         start_idx = start_t * self.num_pos
         end_idx = (start_t + T) * self.num_pos
         seq_len = T * self.num_pos
 
-        n_contexts, n_targets = self.counts(t, seq_len, training=True)
+        n_contexts, n_targets = self.counts(t, seq_len, training=training)
 
         # Rank of each position inside the window-restricted permutation:
         # order induced by the full permutation, counting only in-window
@@ -268,21 +280,20 @@ class DecodePlan:
         return (N - n_ctx_before).astype(np.int64)
 
 
-def plan_segments(
-    plan: DecodePlan,
+def segment_counts(
+    nt: np.ndarray,
     N: int,
     max_segments: int = 4,
     align: int = 128,
 ) -> list[tuple[int, int, int]]:
-    """Split a decode plan into contiguous step segments for the staged
-    scan, minimizing sum(len * target_bucket) over <= max_segments
-    segments (DP; the remaining-target curve is known statically).
+    """Split a non-increasing per-step target-count curve into <=
+    max_segments contiguous segments minimizing sum(len * bucket) (DP).
 
     Returns [(start, stop, bucket), ...] where `bucket` is the compact
-    target width for steps [start, stop) — the max remaining-target
-    count in the segment, rounded up to `align` and capped at N.
+    target width for steps [start, stop) — the segment's max count
+    rounded up to `align` and capped at N.
     """
-    nt = plan.n_targets_before(N)
+    nt = np.asarray(nt)
     S = len(nt)
     if S == 0:
         return []
@@ -320,6 +331,19 @@ def plan_segments(
         else:
             merged.append((s, e, b))
     return merged
+
+
+def plan_segments(
+    plan: DecodePlan,
+    N: int,
+    max_segments: int = 4,
+    align: int = 128,
+) -> list[tuple[int, int, int]]:
+    """Segment a MaskGIT decode plan by remaining-target count for the
+    staged scan (see segment_counts)."""
+    return segment_counts(
+        plan.n_targets_before(N), N, max_segments, align
+    )
 
 
 def maskgit_plan(

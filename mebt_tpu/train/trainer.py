@@ -369,15 +369,44 @@ class MeBTTrainer:
         )
         self.logger.log_video(step, "sample", grid_u8)
 
+    def prepare_val_batch(self, batch: Mapping[str, np.ndarray], rng):
+        """Eval-mode masks (reference divide_indices with
+        self.training=False, mask_sampler.py:85-111): the FULL temporal
+        window — no curriculum slicing — and budget lifted to seq_len so
+        every masked token is predicted. `rng` is a dedicated seeded
+        generator so val curves are reproducible run-to-run (the
+        reference inherits torch's global RNG here and jitters)."""
+        t = float(
+            self.t_range[0] + rng.random() * (self.t_range[1] - self.t_range[0])
+        )
+        masks = self.mask_gen.train_masks(
+            np.asarray(batch["indices"]), t, 0, self.mask_gen.shape[0],
+            training=False,
+        )
+        out: dict[str, Any] = {
+            "ctx_mask": masks.ctx_mask,
+            "tgt_mask": masks.tgt_mask,
+            "seq_len": np.float32(masks.seq_len),
+            "masked_weight": np.float32(masks.masked_weight),
+        }
+        if self.vtokens or "codes" in batch:
+            out["codes"] = np.asarray(batch["codes"]).reshape(
+                masks.ctx_mask.shape[0], -1
+            ).astype(np.int32)
+        else:
+            out["video"] = np.asarray(batch["video"], np.float32)
+        return out
+
     def validate(self, state, val_loader, step, max_batches: int = 8):
         """val/loss + acc metrics (reference validation_step,
-        transformer.py:741-747)."""
+        transformer.py:741-747) under eval-mode masking semantics."""
         eval_step = self._eval_step()
+        val_rng = np.random.default_rng(0xE7A1)  # fixed: comparable curves
         agg: dict[str, list[float]] = {}
         for i, batch in enumerate(val_loader):
             if i >= max_batches:
                 break
-            dev_batch = self.prepare_batch(batch, step + i)
+            dev_batch = self.prepare_val_batch(batch, val_rng)
             metrics = eval_step(state.params, dev_batch)
             for k, v in jax.device_get(metrics).items():
                 agg.setdefault(f"val/{k}", []).append(float(v))

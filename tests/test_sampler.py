@@ -115,6 +115,32 @@ def test_train_masks_match_reference_semantics(t, window):
     assert not (masks.ctx_mask | masks.tgt_mask)[:, out_of_window].any()
 
 
+def test_eval_masks_ignore_curriculum_and_budget():
+    """Reference divide_indices with self.training=False
+    (mask_sampler.py:85-111): full window, budget lifted to seq_len —
+    every masked token is a target."""
+    shape = (4, 4, 4)
+    gen = MaskGen(schedule="linear", shape=shape, budget=8)  # tight budget
+    rng = np.random.default_rng(1)
+    B, N = 2, gen.seq_len
+    perms = np.stack([rng.permutation(N) for _ in range(B)])
+
+    t = 0.25  # linear: 75% masked -> 48 targets, far above budget=8
+    train = gen.train_masks(perms, t, 0, 4, training=True)
+    ev = gen.train_masks(perms, t, 0, 4, training=False)
+    assert train.n_targets == 8
+    assert ev.n_targets == N - ev.n_contexts  # uncapped
+    # eval mode: context/target partition the full sequence
+    assert ((ev.ctx_mask | ev.tgt_mask) == True).all()  # noqa: E712
+    assert not (ev.ctx_mask & ev.tgt_mask).any()
+    assert ev.masked_weight == ev.n_targets
+
+    # eval-mode masks require the full window (the reference never
+    # slices at validation)
+    with pytest.raises(ValueError):
+        gen.train_masks(perms, t, 1, 2, training=False)
+
+
 def _tiny_model():
     cfg = MeBTConfig(
         vocab_size=32,

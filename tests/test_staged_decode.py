@@ -201,6 +201,51 @@ def test_staged_bootstrap_fast_path(small_model):
     assert (np.asarray(state2.chosen_prob) <= 1.0 + 1e-6).all()
 
 
+def test_staged_gibbs_matches_dense(small_model):
+    """Draft-and-revise with compacted chunks must equal the dense scan
+    under greedy sampling (chunk assignment consumes identical RNG in
+    both paths; temperature -> 0 removes the sampling noise)."""
+    from mebt_tpu.sampler.decode import draft_and_revise
+
+    model, params = small_model
+    N = model.config.seq_len
+    B = 2
+    codes0 = jax.random.randint(
+        jax.random.PRNGKey(21), (B, N), 0, model.config.vocab_size
+    )
+    for skip_draft in (False, True):
+        kw = dict(
+            n_draft=4, draft_t=0.0, n_revise=6, revise_t=0.0, M=2,
+            skip_draft=skip_draft,
+        )
+        rng = jax.random.PRNGKey(22)
+        dense = draft_and_revise(
+            model, params, rng, codes0, staged=False, **kw
+        )
+        stg = draft_and_revise(model, params, rng, codes0, staged=True, **kw)
+        np.testing.assert_array_equal(np.asarray(dense), np.asarray(stg))
+
+
+def test_staged_gibbs_respects_fixed_context(small_model):
+    from mebt_tpu.sampler.decode import draft_and_revise
+
+    model, params = small_model
+    N = model.config.seq_len
+    B = 2
+    codes0 = jax.random.randint(
+        jax.random.PRNGKey(31), (B, N), 0, model.config.vocab_size
+    )
+    ctx = np.zeros((B, N), bool)
+    ctx[:, :10] = True
+    out = draft_and_revise(
+        model, params, jax.random.PRNGKey(32), codes0,
+        ctx_mask=jnp.asarray(ctx), n_draft=3, n_revise=3, M=1, staged=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out)[:, :10], np.asarray(codes0)[:, :10]
+    )
+
+
 def test_plan_segments_cover_and_bound():
     plan = maskgit_plan(8192, 32, "cosine", n_ctx_init=64)
     segs = plan_segments(plan, 8192, max_segments=4, align=128)
