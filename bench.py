@@ -1,20 +1,29 @@
-"""Headline benchmark: STL-16f generation throughput (videos/sec/chip).
+"""Headline benchmarks: STL-16f and STL-128f generation throughput.
 
-Recipe mirrors the reference eval harness (BASELINE.md row 1 /
-scripts/valid_dnr_config_ckpt_exp_stl_16f.sh): MaskGIT sampling with 32
-steps, cosine schedule, ctemp 8.0 linear decay, batch 16, followed by
-VQGAN decode of the (4,16,16) latent codes to 16x128x128 pixels.
+Recipes mirror the reference eval harness (BASELINE.md /
+scripts/valid_dnr_config_ckpt_exp_stl_{16f,128f}.sh):
+
+  16f : MaskGIT 32 steps, cosine, ctemp 8.0 linear, batch 16, then
+        VQGAN decode of (4,16,16) codes to 16x128x128 pixels.
+  128f: bootstrap 64 steps + MaskGIT 32 steps, top_k 32, ctemp 4.0,
+        batch 2, then VQGAN decode of (32,16,16) codes to 128 frames —
+        the north-star workload (BASELINE.json: ">5x faster per chip
+        ... generating 128-frame videos").
+
 Weights are random (throughput is weight-independent); model size is the
 published flagship: 24L/16H/1024d, vocab 16384, 256 latents.
 
 vs_baseline: the reference repo publishes no throughput numbers
-(BASELINE.md). The denominator below is an engineering estimate of the
-reference pipeline on one A100: 32 Python-driven forwards of the ~200M
-gathered-attention model at bs16 (fp32/TF32, per-step host sync +
-schedule math) plus the Conv3d decode — ~5.3 s/batch => ~3.0 videos/s.
-Treat vs_baseline as indicative until the reference is timed directly.
+(BASELINE.md). Denominators are engineering estimates of the reference
+pipeline on one A100 — 16f: 32 Python-driven forwards of the ~200M
+gathered-attention model at bs16 plus Conv3d decode ~ 3.0 videos/s;
+128f: 96 Python-driven forwards over up-to-8192 gathered tokens at bs2
+with per-step host schedule math + sparse-COO scatters, plus the
+32-latent-frame Conv3d decode ~ 0.1 videos/s. Measure directly with
+scripts/time_reference.py on a CUDA machine before quoting ratios.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric; the LAST line is the north-star 128f
+metric.
 """
 
 from __future__ import annotations
@@ -30,27 +39,11 @@ from mebt_tpu.utils.runtime import enable_compilation_cache
 enable_compilation_cache()
 import numpy as np
 
-BASELINE_VIDEOS_PER_SEC = 3.0  # estimated reference A100 throughput
+BASELINE_16F_VIDEOS_PER_SEC = 3.0  # estimated reference A100 throughput
+BASELINE_128F_VIDEOS_PER_SEC = 0.1  # estimated reference A100 throughput
 
 
-def build():
-    from mebt_tpu.models.mebt import MeBT, MeBTConfig
-    from mebt_tpu.models.vqgan import VQGAN, VQGANConfig
-    from __graft_entry__ import _canonical_mode
-
-    cfg = MeBTConfig(
-        vocab_size=16384,
-        block_size=1024,
-        n_layer=24,
-        n_head=16,
-        n_embd=1024,
-        sos_emb=256,
-        mode=_canonical_mode(),
-        latent_shape=(4, 16, 16),
-        dtype=jnp.bfloat16,
-    )
-    model = MeBT(cfg)
-
+def _random_params(model, cfg):
     rng = jax.random.key(0)
     shapes = jax.eval_shape(
         lambda r: model.init(
@@ -64,10 +57,30 @@ def build():
     keys = iter(
         jax.random.split(jax.random.key(1), len(jax.tree.leaves(shapes)))
     )
-    params = jax.tree.map(
+    return jax.tree.map(
         lambda s: (jax.random.normal(next(keys), s.shape, jnp.float32) * 0.02),
         shapes,
     )
+
+
+def build(latent_shape=(4, 16, 16)):
+    from mebt_tpu.models.mebt import MeBT, MeBTConfig
+    from mebt_tpu.models.vqgan import VQGAN, VQGANConfig
+    from __graft_entry__ import _canonical_mode
+
+    cfg = MeBTConfig(
+        vocab_size=16384,
+        block_size=int(np.prod(latent_shape)),
+        n_layer=24,
+        n_head=16,
+        n_embd=1024,
+        sos_emb=256,
+        mode=_canonical_mode(),
+        latent_shape=tuple(latent_shape),
+        dtype=jnp.bfloat16,
+    )
+    model = MeBT(cfg)
+    params = _random_params(model, cfg)
 
     vq_cfg = VQGANConfig(
         embedding_dim=256, n_codes=16384, n_hiddens=32, downsample=(4, 8, 8),
@@ -79,15 +92,43 @@ def build():
     return model, params, vqgan
 
 
-def main():
+def _key(i):
+    # rbg PRNG for the sampling noise draws; i.i.d. uniforms either way
+    # (the reference uses torch's Philox — PRNG choice is not part of
+    # the algorithm)
+    return jax.random.key(i, impl="rbg")
+
+
+def _timed(generate, runs=5):
+    """Median wall time with the host fetch of batch i-1 pipelined
+    behind batch i's compute. np.asarray forces full execution
+    (block_until_ready does not synchronize through the tunnel)."""
+    out = generate(_key(10))
+    np.asarray(out)
+    times = []
+    pending = None
+    t0 = time.perf_counter()
+    for i in range(runs):
+        out = generate(_key(100 + i))
+        if pending is not None:
+            np.asarray(pending)
+            t1 = time.perf_counter()
+            times.append(t1 - t0)
+            t0 = t1
+        pending = out
+    np.asarray(pending)
+    times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_16f():
     from mebt_tpu.sampler.decode import maskgit_sample
     from mebt_tpu.sampler.mask_schedule import maskgit_plan
 
     B = 16
-    n_steps = 32
-    model, params, vqgan = build()
+    model, params, vqgan = build((4, 16, 16))
     N = model.config.seq_len
-    plan = maskgit_plan(N, n_steps, schedule="cosine", ctemp_schedule="linear")
+    plan = maskgit_plan(N, 32, schedule="cosine", ctemp_schedule="linear")
 
     decode_pixels = jax.jit(
         lambda codes: jnp.round(
@@ -103,45 +144,70 @@ def main():
         codes = state.codes.reshape(B, *model.config.latent_shape)
         return decode_pixels(codes)
 
-    # rbg PRNG: ~5% faster than threefry for the vocab-sized gumbel
-    # draws; i.i.d. uniforms either way (the reference uses torch's
-    # Philox — PRNG choice is not part of the algorithm)
-    def key(i):
-        return jax.random.key(i, impl="rbg")
+    dt = _timed(generate, runs=5)
+    return B / dt
 
-    # warmup / compile
-    out = generate(key(10))
-    np.asarray(out)  # force full execution (block_until_ready does not
-    # synchronize through the remote device tunnel)
 
-    # median of 5 runs: the remote-tunnel environment adds ~10% run-to-run
-    # noise on top of stable device time
-    runs = 5
-    times = []
-    pending = None
-    t0 = time.perf_counter()
-    for i in range(runs):
-        out = generate(key(100 + i))  # queue batch i (async dispatch)
-        if pending is not None:
-            np.asarray(pending)  # fetch batch i-1 while i computes
-            t1 = time.perf_counter()
-            times.append(t1 - t0)
-            t0 = t1
-        pending = out
-    np.asarray(pending)
-    times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+def bench_128f():
+    from mebt_tpu.sampler.decode import maskgit_sample
+    from mebt_tpu.sampler.mask_schedule import bootstrap_plan, maskgit_plan
 
-    videos_per_sec = B / dt
+    B = 2
+    model, params, vqgan = build((32, 16, 16))
+    N = model.config.seq_len
+    bplan = bootstrap_plan(N, 64)
+    mplan = maskgit_plan(
+        N, 32, schedule="cosine", ctemp_schedule="linear", n_ctx_init=64
+    )
+
+    decode_pixels = jax.jit(
+        lambda codes: jnp.round(
+            (jnp.clip(vqgan.decode(codes), -0.5, 0.5) + 0.5) * 255.0
+        ).astype(jnp.uint8)
+    )
+
+    def generate(rng):
+        r1, r2 = jax.random.split(rng)
+        state = maskgit_sample(
+            model, params, r1, B, bplan,
+            temperature=1.0, strategy="bootstrap", context_temperature=4.0,
+        )
+        state = maskgit_sample(
+            model, params, r2, B, mplan,
+            codes=state.codes, ctx_mask=state.ctx_mask,
+            temperature=1.0, top_k=32, context_temperature=4.0,
+        )
+        codes = state.codes.reshape(B, *model.config.latent_shape)
+        return decode_pixels(codes)
+
+    dt = _timed(generate, runs=3)
+    return B / dt
+
+
+def main():
+    v16 = bench_16f()
     print(
         json.dumps(
             {
                 "metric": "stl16f_generation_throughput",
-                "value": round(videos_per_sec, 3),
+                "value": round(v16, 3),
                 "unit": "videos/sec/chip",
-                "vs_baseline": round(videos_per_sec / BASELINE_VIDEOS_PER_SEC, 3),
+                "vs_baseline": round(v16 / BASELINE_16F_VIDEOS_PER_SEC, 3),
             }
-        )
+        ),
+        flush=True,
+    )
+    v128 = bench_128f()
+    print(
+        json.dumps(
+            {
+                "metric": "stl128f_generation_throughput",
+                "value": round(v128, 3),
+                "unit": "videos/sec/chip",
+                "vs_baseline": round(v128 / BASELINE_128F_VIDEOS_PER_SEC, 3),
+            }
+        ),
+        flush=True,
     )
 
 

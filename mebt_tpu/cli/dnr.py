@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 
 import numpy as np
 
@@ -47,6 +48,23 @@ def save_tag(args) -> str:
     return tag
 
 
+def parse_draft_name(np_draft: str) -> tuple[int, str]:
+    """Derive (n_draft, ctemp postfix) from a maskgit codemap filename
+    (reference dnr script:119-132). The sample CLI writes
+    "..._ctemp<float><schedule>_..." (e.g. ctemp12.5linear); grab the
+    leading float — the reference's fixed [:3] slice breaks past one
+    digit + decimal (dnr script:126)."""
+    n_draft = 0
+    if "n_steps" in np_draft:
+        n_draft = int(np_draft.split("VID_n_steps")[-1].split("_")[0])
+    postfix = ""
+    if "maskgit_cosine" in np_draft:
+        m = re.search(r"ctemp(\d+(?:\.\d+)?)", np_draft)
+        if m:
+            postfix = f"_ctemp{float(m.group(1))}"
+    return n_draft, postfix
+
+
 def main(argv=None):
     from mebt_tpu.utils.runtime import enable_compilation_cache
 
@@ -65,18 +83,8 @@ def main(argv=None):
     postfix = ""
     if args.np_draft is not None:
         draft = np.load(args.np_draft)
-        # reference dnr script:119-132 — derive n_draft / ctemp postfix
-        # from the maskgit codemap filename so output names line up with
-        # the valid_dnr_*.sh pipelines
-        if "n_steps" in args.np_draft:
-            args.n_draft = int(
-                args.np_draft.split("VID_n_steps")[-1].split("_")[0]
-            )
-        else:
-            args.n_draft = 0
-        if "maskgit_cosine" in args.np_draft:
-            ctemp = float(args.np_draft.split("ctemp")[-1].split("_")[0][:3])
-            postfix = f"_ctemp{ctemp}"
+        # output names line up with the valid_dnr_*.sh pipelines
+        args.n_draft, postfix = parse_draft_name(args.np_draft)
         args.draft_t = 0.0
         args.draft_p = args.draft_k = None
 

@@ -17,6 +17,7 @@ Dataset dispatch mirrors VideoData._dataset (data.py:248-273):
 
 from __future__ import annotations
 
+import logging
 import math
 import os
 import os.path as osp
@@ -25,6 +26,8 @@ from typing import Sequence
 import numpy as np
 
 from mebt_tpu.data.loader import DataLoader
+
+logger = logging.getLogger(__name__)
 
 IMG_EXTENSIONS = (".jpg", ".JPG", ".jpeg", ".JPEG", ".png", ".PNG")
 VIDEO_EXTENSIONS = ("avi", "mp4", "webm")
@@ -87,10 +90,16 @@ class FrameListDataset(_Base):
         current_id = None
         last_frame = None
         n_discontinuous = 0
+        n_too_short = 0
 
         def flush():
-            if len(current) >= min_len and current:
+            nonlocal n_too_short
+            if not current:
+                return
+            if len(current) >= min_len:
                 videos.append(list(current))
+            else:
+                n_too_short += 1
 
         for path in paths:
             name = osp.basename(path)
@@ -121,6 +130,13 @@ class FrameListDataset(_Base):
         if not videos:
             raise RuntimeError(f"No usable clips found via {list_file}")
         self.n_discontinuous = n_discontinuous
+        self.n_too_short = n_too_short
+        # no silent caps: surface everything the scan dropped
+        logger.info(
+            "FrameListDataset(%s): %d clips; %d discontinuity splits, "
+            "%d clips dropped as shorter than %d frames",
+            list_file, len(videos), n_discontinuous, n_too_short, min_len,
+        )
         return videos
 
     def __len__(self):
@@ -355,10 +371,30 @@ class VideoFileDataset(_Base):
             for f in files:
                 counts[f] = self._count_frames(f)
             np.save(cache, counts)  # noqa: NPY002
+        n_unreadable = 0
+        n_short = 0
         for f in files:
             n = counts.get(f, 0)
+            if n == 0:
+                n_unreadable += 1
+                logger.warning("unreadable video file (0 clips): %s", f)
+                continue
+            if n < sequence_length:
+                n_short += 1
+                continue
             for s in range(0, max(0, n - sequence_length + 1), sequence_length):
                 self._clips.append((f, s))
+        self.n_unreadable = n_unreadable
+        self.n_short = n_short
+        # no silent caps: a corrupted directory must not shrink the
+        # dataset quietly (reference data.py silently contributes zero
+        # clips for unreadable files)
+        logger.info(
+            "VideoFileDataset(%s): %d clips from %d files; "
+            "%d unreadable, %d shorter than %d frames",
+            folder, len(self._clips), len(files), n_unreadable, n_short,
+            sequence_length,
+        )
 
     @staticmethod
     def _count_frames(path: str) -> int:

@@ -23,23 +23,59 @@ import jax.numpy as jnp
 NEG_INF = jnp.finfo(jnp.float32).min
 
 
+def sample_topk_tokens(
+    rng: jax.Array,
+    logits: jax.Array,
+    k: int,
+    temperature: float,
+):
+    """Sample from the top-k-filtered softmax with the minimum number of
+    (..., V) memory passes.
+
+    `lax.top_k` VALUES-only lowers to the fast single-pass TPU TopK;
+    asking for indices forces a variadic full sort (~6x slower at 128f
+    decode shapes, where sampling is HBM-bound). So: take the k values,
+    gumbel-argmax among the k (the filtered-out entries are -inf and
+    could never win), and recover the chosen token id with one
+    equality-search pass over the logits. Two O(V) passes total, and
+    the noise draw / logsumexp shrink from (..., V) to (..., k) —
+    this removed ~95 ms/step from the 128f confidence decode.
+
+    Distribution-identical to `top_k_logits` + full-vocab gumbel argmax
+    except on exact float ties (equality recovery takes the lowest
+    index; measure-zero for continuous logits).
+
+    Returns (samples, chosen_prob) with chosen_prob the probability of
+    the sampled token under the filtered softmax (reference
+    transformer.py:843-889 semantics).
+    """
+    logits = logits.astype(jnp.float32) / (temperature + 1e-8)
+    *lead, V = logits.shape
+    flat = logits.reshape(-1, V)  # 3-D TopK lowers ~4x slower on TPU
+    vals = jax.lax.top_k(flat, int(k))[0]  # (rows, k), values only
+    q = jax.random.exponential(rng, vals.shape, dtype=jnp.float32)
+    j = jnp.argmax(vals - jnp.log(q), axis=-1)[..., None]
+    chosen = jnp.take_along_axis(vals, j, axis=-1)  # (rows, 1)
+    samples = jnp.argmax(flat == chosen, axis=-1).astype(jnp.int32)
+    lse = jax.scipy.special.logsumexp(vals, axis=-1)
+    chosen_prob = jnp.exp(chosen[..., 0] - lse)
+    return samples.reshape(lead), chosen_prob.reshape(lead)
+
+
 def top_k_logits(logits: jax.Array, k: int, approx: bool = False) -> jax.Array:
     """Keep the k largest logits per row, set the rest to -inf.
 
     Reference: transformer.py:891-895. `k` is static.
 
-    `approx=True` uses the TPU-accelerated `approx_max_k` for the
-    threshold instead of exact top-k — exact top_k over a 16384-wide
-    vocab lowers to a full sort (~100 ms/step at 128f decode shapes),
-    while approx_max_k (recall 0.99) is near-free. The filter may then
-    rarely keep a few extra / drop a few boundary tokens.
+    The threshold uses VALUES-only `lax.top_k`, which lowers to the fast
+    single-pass TPU TopK (asking for indices too forces a ~6x slower
+    variadic sort). `approx=True` keeps the recall-0.99 approx_max_k
+    variant, which may rarely keep a few extra / drop a few boundary
+    tokens. NOTE: the hot decode paths bypass this filter entirely via
+    `sample_topk_tokens`, which never materializes the filtered array.
     """
     if approx:
         kth = jax.lax.approx_max_k(logits, k, recall_target=0.99)[0][..., -1:]
-    elif jax.default_backend() == "tpu":
-        # recall_target=1.0 aggregates exactly (verified bit-identical to
-        # lax.top_k) but lowers to the faster PartialReduce path (~1.8x)
-        kth = jax.lax.approx_max_k(logits, k, recall_target=1.0)[0][..., -1:]
     else:
         kth = jax.lax.top_k(logits, k)[0][..., -1:]
     return jnp.where(logits < kth, NEG_INF, logits)
@@ -89,6 +125,17 @@ def sample_tokens(
     is never materialized — at 16x1024x16384 fp32 that saves ~2 GB of
     HBM traffic per decode step. chosen_prob comes from a logsumexp.
     """
+    if (
+        top_k is not None
+        and top_p is None
+        and not need_probs
+        and not approx_top_k
+    ):
+        samples, chosen_prob = sample_topk_tokens(
+            rng, logits, int(top_k), temperature
+        )
+        return samples, chosen_prob, None
+
     logits = logits.astype(jnp.float32) / (temperature + 1e-8)
     if top_k is not None:
         logits = top_k_logits(logits, int(top_k), approx=approx_top_k)

@@ -16,12 +16,16 @@ Weight-layout conversions:
 
 from __future__ import annotations
 
-from typing import Any, Mapping
+import logging
+import math
+from typing import Any, Mapping, Sequence
 
 import numpy as np
 
 from mebt_tpu.models.mebt import MeBTConfig
 from mebt_tpu.models.vqgan import CodebookState, VQGAN, VQGANConfig
+
+logger = logging.getLogger(__name__)
 
 
 def load_lightning_ckpt(path: str):
@@ -208,10 +212,18 @@ def mebt_config_from_hparams(hparams: Mapping, **overrides) -> MeBTConfig:
     return MeBTConfig.from_config(tcfg, mask_shape=mask_shape, **overrides)
 
 
-def load_mebt(path: str, **config_overrides):
+def load_mebt(
+    path: str,
+    vq_downsample: tuple[int, int, int] | None = None,
+    **config_overrides,
+):
     """Load a published MeBT checkpoint -> (MeBTConfig, params, VQGAN|None).
 
     Reference-equivalent `load_transformer` (download.py:56-61).
+    `vq_downsample` overrides the embedded first stage's per-axis
+    downsample factors, which are NOT recoverable from weight shapes
+    (every encoder stage uses kernel 4 regardless of stride,
+    reference vqgan.py:272-280) — pass it for non-(4,8,8) tokenizers.
     """
     sd, hparams = load_lightning_ckpt(path)
     config = mebt_config_from_hparams(dict(hparams), **config_overrides)
@@ -226,7 +238,23 @@ def load_mebt(path: str, **config_overrides):
         vq_hp.update({"n_codes": int(n_codes), "embedding_dim": int(dim)})
         w = sd["first_stage_model.encoder.conv_first.conv.weight"]
         vq_hp["n_hiddens"] = int(w.shape[0])
-        vq_hp["downsample"] = _infer_downsample(sd)
+        fs_params = (fs_cfg.get("params", fs_cfg) or {}) if fs_cfg else {}
+        if vq_downsample is not None:
+            vq_hp["downsample"] = tuple(int(d) for d in vq_downsample)
+        elif "downsample" in fs_params:
+            vq_hp["downsample"] = tuple(
+                int(d) for d in fs_params["downsample"]
+            )
+        else:
+            vq_hp["downsample"] = _infer_downsample(sd)
+            logger.warning(
+                "MeBT ckpt %s embeds a VQGAN whose per-axis downsample is "
+                "not stored; assuming %s from the %d-stage encoder. Pass "
+                "vq_downsample=... if the tokenizer differs.",
+                path, vq_hp["downsample"],
+                max(int(math.log2(d)) for d in vq_hp["downsample"]),
+            )
+        _check_downsample_consistency(sd, vq_hp["downsample"])
         vq_cfg = VQGANConfig.from_hparams(vq_hp)
         vparams, codebook = import_vqgan_params(
             sd, vq_cfg, prefix="first_stage_model."
@@ -236,6 +264,27 @@ def load_mebt(path: str, **config_overrides):
         vparams = jax.tree.map(lambda x: np.asarray(x, np.float32), vparams)
         vqgan = VQGAN(config=vq_cfg, params=vparams, codebook=codebook)
     return config, params, vqgan
+
+
+def _check_downsample_consistency(
+    sd: Mapping[str, np.ndarray], downsample: Sequence[int]
+) -> None:
+    """The one property of `downsample` that IS recoverable from weights:
+    the encoder stage count equals max(log2(d)) (reference
+    vqgan.py:272-280). A mismatched override/inference fails loudly here
+    instead of producing a silently-wrong tokenizer."""
+    n_stages = 0
+    while f"encoder.conv_blocks.{n_stages}.down.conv.weight" in sd or (
+        f"first_stage_model.encoder.conv_blocks.{n_stages}.down.conv.weight"
+        in sd
+    ):
+        n_stages += 1
+    want = max(int(math.log2(d)) for d in downsample)
+    if n_stages and n_stages != want:
+        raise ValueError(
+            f"downsample {tuple(downsample)} implies "
+            f"{want} encoder stages but the checkpoint has {n_stages}"
+        )
 
 
 def _infer_downsample(sd: Mapping[str, np.ndarray]) -> tuple[int, int, int]:

@@ -63,3 +63,37 @@ def test_promote_targets_counts_and_mask():
     # n_new = 0 promotes nothing
     pr0 = promote_targets(rng, scores, tgt, jnp.int32(0), jnp.float32(2.0))
     assert not np.asarray(pr0).any()
+
+
+def test_sample_topk_tokens_matches_filtered_path():
+    """The direct top-k sampler must agree with the materialized
+    filter + full-vocab gumbel path: exactly under greedy decoding, and
+    in chosen_prob for the sampled token."""
+    from mebt_tpu.ops.sampling import (
+        sample_topk_tokens,
+        top_k_logits,
+    )
+
+    rng = np.random.default_rng(6)
+    logits = jnp.asarray(rng.standard_normal((4, 9, 512)).astype(np.float32))
+
+    # greedy: temperature -> 0 makes both paths argmax of the top-k set
+    s_fast, p_fast = sample_topk_tokens(jax.random.PRNGKey(0), logits, 16, 0.0)
+    filt = top_k_logits(logits / 1e-8, 16)
+    s_ref = jnp.argmax(filt, axis=-1)
+    np.testing.assert_array_equal(np.asarray(s_fast), np.asarray(s_ref))
+
+    # chosen_prob: probability under the filtered softmax at temp 1
+    s, p = sample_topk_tokens(jax.random.PRNGKey(1), logits, 16, 1.0)
+    filt = top_k_logits(jnp.asarray(logits), 16)
+    probs = jax.nn.softmax(filt, axis=-1)
+    want = np.take_along_axis(
+        np.asarray(probs), np.asarray(s)[..., None], axis=-1
+    )[..., 0]
+    np.testing.assert_allclose(np.asarray(p), want, rtol=1e-5, atol=1e-6)
+    # sampled tokens always lie inside the top-k set
+    kth = jnp.sort(logits, axis=-1)[..., -16:-15]
+    chosen_logit = np.take_along_axis(
+        np.asarray(logits), np.asarray(s)[..., None], axis=-1
+    )[..., 0]
+    assert (chosen_logit >= np.asarray(kth)[..., 0] - 1e-6).all()

@@ -165,3 +165,34 @@ def test_import_vqgan_params_maps_and_runs():
     recon = vq.decode(codes)
     assert recon.shape == video.shape
     assert bool(jnp.isfinite(recon).all())
+
+
+def test_downsample_consistency_check():
+    from mebt_tpu.utils.torch_ckpt import _check_downsample_consistency
+
+    cfg = VQGANConfig(
+        embedding_dim=4, n_codes=16, n_hiddens=2, downsample=(2, 4, 4)
+    )
+    sd = _vqgan_state_dict(cfg, np.random.default_rng(2))
+    _check_downsample_consistency(sd, (2, 4, 4))  # 2 stages, ok
+    _check_downsample_consistency(sd, (4, 4, 4))  # also 2 stages
+    with pytest.raises(ValueError):
+        _check_downsample_consistency(sd, (4, 8, 8))  # needs 3 stages
+
+
+def test_dnr_draft_name_parse():
+    """Reference dnr script:119-132 filename parsing, hardened for
+    multi-digit / decimal ctemps (the reference's [:3] slice breaks on
+    'ctemp12.5linear')."""
+    from mebt_tpu.cli.dnr import parse_draft_name
+
+    for name, want in [
+        ("VID_n_steps32_temp1.0_ctemp8.0linear_maskgit_cosine_run0.npy",
+         (32, "_ctemp8.0")),
+        ("VID_n_steps64_temp1.0_ctemp12.5linear_maskgit_cosine_run3.npy",
+         (64, "_ctemp12.5")),
+        ("VID_n_steps128_temp1.0_ctemp6.0linear_maskgit_cosine_run1.npy",
+         (128, "_ctemp6.0")),
+        ("some_codemap.npy", (0, "")),
+    ]:
+        assert parse_draft_name(name) == want
