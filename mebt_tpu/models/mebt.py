@@ -183,6 +183,29 @@ class MeBT(nn.Module):
         )
         return latents
 
+    def stage_b_tokens(
+        self,
+        latents: jax.Array,  # (B, sos_emb, D) from stage_a
+        tgt_idx: jax.Array,  # (B, M) int32 canvas positions; >=N = padding
+        tgt_valid: jax.Array,  # (B, M) bool — which slots are live targets
+    ) -> jax.Array:
+        """Dec phase on the compact bucket WITHOUT the vocab head:
+        returns ln_f'd tokens (B, M, D). Callers that fuse the head
+        matmul with sampling (ops/head_sample_pallas.py) consume this
+        plus params['transformer']['head']['kernel'] directly."""
+        cfg = self.config
+        k = transformer_split(cfg)
+        if k is None:
+            raise ValueError("mode list is not stageable; use __call__")
+        idx = jnp.minimum(tgt_idx, cfg.block_size - 1)
+        pos = jnp.take(self.pos_emb[0], idx, axis=0).astype(cfg.dtype)
+        tokens = self.mask_emb.astype(cfg.dtype) + pos  # (B, M, D)
+        ctx_dummy = jnp.zeros_like(tgt_valid)  # dec blocks never read ctx
+        _, tokens = self.transformer.run_blocks(
+            latents, tokens, ctx_dummy, tgt_valid, k, None
+        )
+        return self.transformer.ln_f(tokens)
+
     def stage_b_compact(
         self,
         latents: jax.Array,  # (B, sos_emb, D) from stage_a
@@ -202,18 +225,8 @@ class MeBT(nn.Module):
         match the dense forward bit-for-bit. Padding rows (tgt_idx >= N,
         gather clips) flow garbage that is masked out of lt2l keys and
         never read by callers."""
-        cfg = self.config
-        k = transformer_split(cfg)
-        if k is None:
-            raise ValueError("mode list is not stageable; use __call__")
-        idx = jnp.minimum(tgt_idx, cfg.block_size - 1)
-        pos = jnp.take(self.pos_emb[0], idx, axis=0).astype(cfg.dtype)
-        tokens = self.mask_emb.astype(cfg.dtype) + pos  # (B, M, D)
-        ctx_dummy = jnp.zeros_like(tgt_valid)  # dec blocks never read ctx
-        _, tokens = self.transformer.run_blocks(
-            latents, tokens, ctx_dummy, tgt_valid, k, None
-        )
-        return self.transformer.logits_head(tokens)
+        tokens = self.stage_b_tokens(latents, tgt_idx, tgt_valid)
+        return self.transformer.head(tokens).astype(jnp.float32)
 
 
 def mlm_loss(

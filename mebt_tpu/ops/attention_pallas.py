@@ -107,10 +107,11 @@ def _smallq_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_ref,
         denom = jnp.where(empty, 1.0, denom)
         o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
         # logsumexp per query row, saved for the flash backward;
-        # fully-masked rows get +BIG so recomputed p == 0 exactly
-        lse_ref[0] = jnp.where(
-            empty, -NEG_BIG, m_ref[:] + jnp.log(denom)
-        )
+        # fully-masked rows get +BIG so recomputed p == 0 exactly.
+        # Emitted lane-major (hc, 1, NQ): a (NQ, 1) column block would
+        # pad to 128 lanes and cost ~1 MB of double-buffered VMEM.
+        lse = jnp.where(empty, -NEG_BIG, m_ref[:] + jnp.log(denom))
+        lse_ref[0] = jnp.swapaxes(lse, 1, 2)
 
 
 @functools.partial(
@@ -163,12 +164,12 @@ def _smallq_attention(q, k, v, mask, *, scale: float, block_k: int = 2048,
         out_specs=(
             pl.BlockSpec((1, hc, NQ, D), lambda g, j: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hc, NQ, 1), lambda g, j: (g, 0, 0, 0),
+            pl.BlockSpec((1, hc, 1, NQ), lambda g, j: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_cells, hc, NQ, D), q.dtype),
-            jax.ShapeDtypeStruct((n_cells, hc, NQ, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_cells, hc, 1, NQ), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((hc, NQ, 1), jnp.float32),
@@ -181,7 +182,7 @@ def _smallq_attention(q, k, v, mask, *, scale: float, block_k: int = 2048,
             transcendentals=G * H * NQ * NKp,
         ),
     )(qh, kh, vh, maskh)
-    return out.reshape(G, H, NQ, D), lse.reshape(G, H, NQ, 1)
+    return out.reshape(G, H, NQ, D), lse.reshape(G, H, NQ)[..., None]
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,197 @@
+"""Fused vocab-head + gumbel sampling kernel.
+
+The decode hot loop ends with `head(ln_f(tokens)) -> sample_tokens`:
+a (rows, 16384) fp32 logits tensor is written to HBM, then read ~3 more
+times (exponential noise + argmax, logsumexp, chosen-prob gather). At
+128f/16f decode shapes that tensor is ~1 GB and effective HBM bandwidth
+on the target chip measures ~100-130 GB/s — the sampling machinery is
+memory-bound, not compute-bound (PERFORMANCE.md).
+
+This kernel streams the head matmul over vocab chunks on the MXU and
+keeps everything else in VMEM: per-row running (max, sumexp) for the
+logsumexp, and a running gumbel-argmax (the reference's
+`argmax(softmax(l)/q)` with q ~ Exp(1) equals `argmax(l/T - log q)`,
+transformer.py:826-889). Logits never touch HBM; outputs are just the
+sampled ids and their probability under the temperature-scaled softmax.
+
+Grid: (row_tiles, vocab_chunks) with rows OUTER: the x tile stays
+resident while vocab chunks stream, and the per-row accumulators are
+(row_tile, 1) scratch local to the current tile. (The transposed
+vocab-outer design — stats for all rows in lane-major scratch — was
+~30x slower in practice: the (D, vc) x (tr, D) contraction and the
+sublane-axis argmax both lower badly off the MXU/VPU fast paths.)
+The weight matrix re-streams once per row tile: keep row_tile large
+(1024 rows -> 16 W passes = ~0.5 GB at 16K rows, ~5 ms at this chip's
+measured ~100 GB/s).
+
+Noise: the in-kernel hardware PRNG (`pltpu.prng_*`), seeded per
+(chunk, row-tile) cell from a caller-supplied uint32 — i.i.d.
+Exponential(1) draws either way; the PRNG choice is not part of the
+algorithm (the reference uses torch's Philox). Pass a fresh seed per
+step (fold the step index into the JAX key and take 32 bits). NOTE:
+interpret mode's PRNG is a zeros stub — noise-dependent behavior is
+only testable on real TPU.
+
+Covers the no-top-k sampling paths (the 16f recipe, gibbs revise,
+bootstrap); top-k sampling keeps ops/sampling.py:sample_topk_tokens.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _head_sample_kernel(
+    seed_ref, x_ref, w_ref,
+    sample_ref, prob_ref,
+    m_ref, s_ref, best_ref, besti_ref, bestl_ref,
+    *, inv_temp: float,
+):
+    i = pl.program_id(0)  # row tile (outer — x tile stays resident)
+    j = pl.program_id(1)  # vocab chunk (inner — accumulators are local)
+    nj = pl.num_programs(1)
+    tr = x_ref.shape[0]
+    vc = w_ref.shape[1]
+    row0 = i * tr
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full((tr, 1), -1e30, jnp.float32)
+        s_ref[:] = jnp.zeros((tr, 1), jnp.float32)
+        best_ref[:] = jnp.full((tr, 1), -1e30, jnp.float32)
+        besti_ref[:] = jnp.zeros((tr, 1), jnp.int32)
+        bestl_ref[:] = jnp.zeros((tr, 1), jnp.float32)
+
+    l = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_temp  # (TR, VC)
+
+    # Exp(1) noise: q = -log(U). uint32 -> f32 casts are unsupported in
+    # Mosaic; splice the top 23 bits into a [1, 2) mantissa instead,
+    # then shift to strict (0, 1) so q stays finite and positive.
+    pltpu.prng_seed(seed_ref[0] + i * nj + j)
+    bits = pltpu.bitcast(pltpu.prng_random_bits((tr, vc)), jnp.uint32)
+    fbits = (bits >> 9) | jnp.uint32(0x3F800000)
+    u = (pltpu.bitcast(fbits, jnp.float32) - 1.0) + 2.9802322e-8  # 2^-25
+    q = -jnp.log(u)
+    perturbed = l - jnp.log(q)
+
+    # running gumbel-argmax (lane-axis reductions)
+    c_best = jnp.max(perturbed, axis=1, keepdims=True)  # (TR, 1)
+    c_arg = jnp.argmax(perturbed, axis=1).reshape(tr, 1)
+    # (gather by c_arg doesn't lower in Mosaic; masked max instead)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tr, vc), 1)
+    c_logit = jnp.max(
+        jnp.where(col == c_arg, l, -1e30), axis=1, keepdims=True
+    )
+    prev_best = best_ref[:]
+    better = c_best > prev_best
+    best_ref[:] = jnp.where(better, c_best, prev_best)
+    besti_ref[:] = jnp.where(better, c_arg + j * vc, besti_ref[:])
+    bestl_ref[:] = jnp.where(better, c_logit, bestl_ref[:])
+
+    # running logsumexp
+    m_prev = m_ref[:]
+    m_cur = jnp.max(l, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    s_ref[:] = (
+        s_ref[:] * jnp.exp(m_prev - m_new)
+        + jnp.sum(jnp.exp(l - m_new), axis=1, keepdims=True)
+    )
+    m_ref[:] = m_new
+
+    @pl.when(j == nj - 1)
+    def _():
+        lse = m_ref[:] + jnp.log(s_ref[:])
+        # outputs are lane-major (1, Rp); one tiny transpose per tile
+        sample_ref[:, pl.ds(row0, tr)] = besti_ref[:].reshape(1, tr)
+        prob_ref[:, pl.ds(row0, tr)] = jnp.exp(
+            bestl_ref[:] - lse
+        ).reshape(1, tr)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("temperature", "row_tile", "vocab_chunk"),
+)
+def fused_head_sample(
+    x: jax.Array,  # (R, D) post-ln_f tokens (any float dtype)
+    w: jax.Array,  # (D, V) head kernel
+    seed: jax.Array,  # () uint32/int32 — per-step seed
+    *,
+    temperature: float = 1.0,
+    row_tile: int = 1024,
+    vocab_chunk: int = 512,
+):
+    """Returns (samples (R,) int32, chosen_prob (R,) fp32) sampled from
+    softmax(x @ w / temperature) per row, without materializing logits."""
+    R, D = x.shape
+    V = w.shape[1]
+    tr = min(row_tile, R)
+    # lane-width alignment: rows ride the lane axis of the transposed
+    # tile, and sub-128 PRNG lane dims produce replicated noise
+    tr = max(128, -(-tr // 128) * 128)
+    pad_r = _cdiv(R, tr) * tr - R
+    if pad_r:
+        x = jnp.pad(x, ((0, pad_r), (0, 0)))
+    Rp = x.shape[0]
+    vc = min(vocab_chunk, V)
+    assert V % vc == 0, "vocab must divide vocab_chunk"
+    w = w.astype(x.dtype)
+    n_tiles = Rp // tr
+    grid = (n_tiles, V // vc)
+
+    samples, probs = pl.pallas_call(
+        functools.partial(
+            _head_sample_kernel,
+            inv_temp=1.0 / (float(temperature) + 1e-8),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tr, D), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, vc), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        # outputs are small (1, Rp) lane vectors kept whole in VMEM —
+        # a (Rp, 1) column layout would pad every row to 128 lanes
+        out_specs=(
+            pl.BlockSpec((1, Rp), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Rp), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, Rp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Rp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tr, 1), jnp.float32),  # running max
+            pltpu.VMEM((tr, 1), jnp.float32),  # running sumexp
+            pltpu.VMEM((tr, 1), jnp.float32),  # best perturbed
+            pltpu.VMEM((tr, 1), jnp.int32),    # best index
+            pltpu.VMEM((tr, 1), jnp.float32),  # best logit
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Rp * D * V,
+            bytes_accessed=(V // vc) * Rp * D * 2 + D * V * 2 + Rp * 8,
+            transcendentals=2 * Rp * V,
+        ),
+    )(jnp.asarray(seed, jnp.int32).reshape(1), x, w)
+    samples = samples[0]
+    probs = probs[0]
+    if pad_r:
+        samples = samples[:R]
+        probs = probs[:R]
+    return samples, probs

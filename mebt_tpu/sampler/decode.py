@@ -236,16 +236,44 @@ def _staged_confidence_scan(
                 {"params": params}, state.codes, state.ctx_mask,
                 method="stage_a",
             )
-            logits = model.apply(
-                {"params": params}, latents, idx, cvalid,
-                method="stage_b_compact",
-            )
             rng, r_sample, r_promote = jax.random.split(state.rng, 3)
-            sampled, chosen_p, probs = sample_tokens(
-                r_sample, logits, temperature, top_k, top_p,
-                need_probs=(score_mode == "entropy"),
-                approx_top_k=approx_top_k,
+            use_fused_head = (
+                top_k is None
+                and top_p is None
+                and score_mode == "prob"
+                and jax.default_backend() == "tpu"
             )
+            if use_fused_head:
+                # head matmul + gumbel sampling in one Pallas kernel —
+                # the (rows, vocab) logits never touch HBM
+                from mebt_tpu.ops.head_sample_pallas import (
+                    fused_head_sample,
+                )
+
+                tokens = model.apply(
+                    {"params": params}, latents, idx, cvalid,
+                    method="stage_b_tokens",
+                )
+                D = tokens.shape[-1]
+                w = params["transformer"]["head"]["kernel"]
+                seed = jax.random.bits(r_sample, (), jnp.uint32)
+                s_flat, p_flat = fused_head_sample(
+                    tokens.reshape(B * bucket, D), w, seed,
+                    temperature=temperature,
+                )
+                sampled = s_flat.reshape(B, bucket).astype(jnp.int32)
+                chosen_p = p_flat.reshape(B, bucket)
+                probs = None
+            else:
+                logits = model.apply(
+                    {"params": params}, latents, idx, cvalid,
+                    method="stage_b_compact",
+                )
+                sampled, chosen_p, probs = sample_tokens(
+                    r_sample, logits, temperature, top_k, top_p,
+                    need_probs=(score_mode == "entropy"),
+                    approx_top_k=approx_top_k,
+                )
             if score_mode == "entropy":
                 s = jnp.sum(probs - jnp.log(probs + 1e-8), axis=-1)
                 s_max = jnp.max(
@@ -624,14 +652,33 @@ def _gibbs_scan_compact(
         latents = model.apply(
             {"params": params}, state.codes, ctx, method="stage_a"
         )
-        logits = model.apply(
-            {"params": params}, latents, idx, cvalid,
-            method="stage_b_compact",
-        )
         rng, r_sample = jax.random.split(state.rng)
-        sampled, chosen_p, _ = sample_tokens(
-            r_sample, logits, temperature, top_k, top_p
-        )
+        if (
+            top_k is None and top_p is None
+            and jax.default_backend() == "tpu"
+        ):
+            from mebt_tpu.ops.head_sample_pallas import fused_head_sample
+
+            tokens = model.apply(
+                {"params": params}, latents, idx, cvalid,
+                method="stage_b_tokens",
+            )
+            B, M, D = tokens.shape
+            w = params["transformer"]["head"]["kernel"]
+            seed = jax.random.bits(r_sample, (), jnp.uint32)
+            s_flat, p_flat = fused_head_sample(
+                tokens.reshape(B * M, D), w, seed, temperature=temperature
+            )
+            sampled = s_flat.reshape(B, M).astype(jnp.int32)
+            chosen_p = p_flat.reshape(B, M)
+        else:
+            logits = model.apply(
+                {"params": params}, latents, idx, cvalid,
+                method="stage_b_compact",
+            )
+            sampled, chosen_p, _ = sample_tokens(
+                r_sample, logits, temperature, top_k, top_p
+            )
         codes = state.codes.at[_row_idx(idx), idx].set(sampled, mode="drop")
         chosen = state.chosen_prob.at[_row_idx(idx), idx].set(
             chosen_p, mode="drop"

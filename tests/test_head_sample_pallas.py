@@ -1,0 +1,94 @@
+"""Fused head+sampling kernel vs the unfused reference semantics.
+
+Interpret mode's in-kernel PRNG is a zeros stub, so the noise-dependent
+tests (distribution, per-row independence) only run on a real TPU
+backend; the greedy and chosen-prob contracts are noise-independent and
+run everywhere."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jax.experimental.pallas import tpu as pltpu
+
+from mebt_tpu.ops.head_sample_pallas import fused_head_sample
+
+
+def _setup(rng, R, D, V):
+    x = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(D, V)).astype(np.float32) * 0.05)
+    return x, w
+
+
+def test_greedy_matches_argmax():
+    """temperature -> 0 removes the gumbel noise: the sample must be the
+    argmax of the logits and chosen_prob -> 1."""
+    rng = np.random.default_rng(0)
+    x, w = _setup(rng, 72, 32, 256)  # R not divisible by row_tile
+    with pltpu.force_tpu_interpret_mode():
+        s, p = fused_head_sample(
+            x, w, jnp.uint32(7), temperature=0.0,
+            row_tile=16, vocab_chunk=128,
+        )
+    want = np.argmax(np.asarray(x) @ np.asarray(w), axis=-1)
+    np.testing.assert_array_equal(np.asarray(s), want)
+    np.testing.assert_allclose(np.asarray(p), 1.0, atol=1e-5)
+
+
+def test_chosen_prob_is_softmax_at_sample():
+    rng = np.random.default_rng(1)
+    x, w = _setup(rng, 64, 32, 256)
+    temp = 1.3
+    with pltpu.force_tpu_interpret_mode():
+        s, p = fused_head_sample(
+            x, w, jnp.uint32(3), temperature=temp,
+            row_tile=32, vocab_chunk=128,
+        )
+    logits = (np.asarray(x) @ np.asarray(w)) / temp
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    want = np.take_along_axis(probs, np.asarray(s)[:, None], axis=-1)[:, 0]
+    np.testing.assert_allclose(np.asarray(p), want, rtol=1e-4, atol=1e-5)
+
+
+def _require_tpu():
+    if jax.default_backend() != "tpu":
+        pytest.skip("in-kernel PRNG is a zeros stub off-TPU")
+
+
+def test_sampling_distribution():
+    """Many rows with identical logits: empirical token frequencies must
+    match the softmax (chi-square-ish bound)."""
+    _require_tpu()
+    rng = np.random.default_rng(2)
+    D, V, R = 16, 256, 4096
+    xrow = rng.normal(size=(1, D)).astype(np.float32)
+    x = jnp.asarray(np.repeat(xrow, R, axis=0))
+    w = jnp.asarray(rng.normal(size=(D, V)).astype(np.float32) * 0.5)
+    s, _ = fused_head_sample(
+        x, w, jnp.uint32(11), temperature=1.0,
+        row_tile=128, vocab_chunk=128,
+    )
+    logits = (xrow @ np.asarray(w))[0]
+    probs = np.exp(logits - logits.max())
+    probs /= probs.sum()
+    counts = np.bincount(np.asarray(s), minlength=V) / R
+    # each row uses a distinct seed-derived stream per tile; tolerance
+    # ~4 sigma of a binomial at R draws
+    tol = 4 * np.sqrt(probs * (1 - probs) / R) + 1e-3
+    assert (np.abs(counts - probs) < tol).all(), (counts, probs)
+
+
+def test_rows_get_independent_noise():
+    """Identical rows must not all sample the same token (distinct noise
+    per row within a tile)."""
+    _require_tpu()
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(np.ones((256, 16), np.float32))
+    w = jnp.asarray(rng.normal(size=(16, 128)).astype(np.float32) * 0.1)
+    s, _ = fused_head_sample(
+        x, w, jnp.uint32(5), temperature=1.0,
+        row_tile=256, vocab_chunk=128,
+    )
+    assert len(np.unique(np.asarray(s))) > 5
