@@ -69,3 +69,62 @@ def test_sharded_params_forward_matches(mesh):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
     )
+
+
+def test_sharded_staged_vs_dense_decode(mesh):
+    """The staged compaction path (gathers/scatters + two-stage apply)
+    must compose with TP+DP sharding identically to the dense scan."""
+    cfg = MeBTConfig(
+        vocab_size=32, block_size=48, n_layer=4, n_head=2, n_embd=16,
+        sos_emb=4, mode=("latent_enc", "latent_self", "latent_dec", "lt2l"),
+        latent_shape=(3, 4, 4),
+    )
+    model = MeBT(cfg)
+    N = cfg.seq_len
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, N), jnp.int32),
+        jnp.zeros((1, N), bool),
+        jnp.zeros((1, N), bool),
+    )["params"]
+    plan = maskgit_plan(N, 5, "cosine")
+    B = 8
+    sharded_params = shard_pytree(params, mesh)
+    kw = dict(temperature=0.0, context_temperature=0.0)  # deterministic
+    st_staged = maskgit_sample(
+        model, sharded_params, jax.random.key(2), B, plan, staged=True, **kw
+    )
+    st_dense = maskgit_sample(
+        model, sharded_params, jax.random.key(2), B, plan, staged=False, **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_staged.codes), np.asarray(st_dense.codes)
+    )
+
+
+def test_sharded_gibbs_revise(mesh):
+    from mebt_tpu.sampler.decode import draft_and_revise
+
+    cfg = MeBTConfig(
+        vocab_size=32, block_size=48, n_layer=2, n_head=2, n_embd=16,
+        sos_emb=4, mode=("latent_enc", "latent_dec"), latent_shape=(3, 4, 4),
+    )
+    model = MeBT(cfg)
+    N = cfg.seq_len
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, N), jnp.int32),
+        jnp.zeros((1, N), bool),
+        jnp.zeros((1, N), bool),
+    )["params"]
+    codes0 = jax.random.randint(jax.random.key(3), (8, N), 0, 32)
+    sharded_params = shard_pytree(params, mesh)
+    out_ref = draft_and_revise(
+        model, params, jax.random.key(4), codes0,
+        n_revise=4, revise_t=0.0, M=1, skip_draft=True,
+    )
+    out = draft_and_revise(
+        model, sharded_params, jax.random.key(4), codes0,
+        n_revise=4, revise_t=0.0, M=1, skip_draft=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_ref))
