@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import logging
 import math
-import os
 import os.path as osp
 from typing import Sequence
 

@@ -19,7 +19,7 @@ physically dropping them.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Mapping, Sequence
 
 import flax.linen as nn

@@ -19,7 +19,7 @@ the same candidates from a shared deterministic PRNG key.
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Sequence
+from typing import Any, Sequence
 
 import jax
 import numpy as np

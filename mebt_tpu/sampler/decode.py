@@ -19,7 +19,6 @@ selection, reference sample script:85-91).
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import flax.struct
 import jax

@@ -19,13 +19,11 @@ not DDP hooks.
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import flax.struct
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from mebt_tpu.models.mebt import MeBT, mlm_loss

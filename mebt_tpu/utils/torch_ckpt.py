@@ -113,8 +113,6 @@ def vqgan_config_from_hparams(hparams: Mapping, **overrides) -> VQGANConfig:
 def import_vqgan_params(sd: Mapping[str, np.ndarray], config: VQGANConfig,
                         prefix: str = ""):
     """Map a TATS VQGAN state dict onto (flax params, CodebookState)."""
-    import math
-
     p = prefix
     n_stages = max(int(math.log2(d)) for d in config.downsample)
 
