@@ -153,22 +153,18 @@ class CrossAttention(nn.Module):
         v = HeadSplitProj(H, Dh, dtype=self.dtype, name="value")(key)
 
         if self.attn_pdrop > 0.0 and not deterministic:
-            # Dropout on attention probabilities requires the dense-probs
-            # path; fold it in by recomputing probabilities explicitly.
-            scale = 1.0 / (Dh**0.5)
-            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
-            scores = scores * scale
-            from mebt_tpu.ops.attention import masked_softmax
-
-            mask = None if key_mask is None else key_mask[:, None, None, :]
-            # softmax in fp32 for stability, then bf16 for the dropout
-            # mask + PV matmul (halves the dominant HBM traffic of the
-            # training attention path)
-            probs = masked_softmax(scores, mask).astype(v.dtype)
-            probs = nn.Dropout(self.attn_pdrop)(
-                probs, deterministic=deterministic
+            # Dropout on attention probabilities. On TPU both routed
+            # regimes run fully in the flash kernels with the mask
+            # generated in-kernel (ops/attention_pallas.py); elsewhere
+            # the differentiable dense form is used.
+            from mebt_tpu.ops.attention_pallas import (
+                fused_dropout_attention,
             )
-            y = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+            y = fused_dropout_attention(
+                q, k, v, key_mask, float(self.attn_pdrop),
+                self.make_rng("dropout"),
+            )
         elif jax.default_backend() == "tpu":
             # fused Pallas kernels keep scores/probs in VMEM
             # (ops/attention_pallas.py); custom VJP covers training

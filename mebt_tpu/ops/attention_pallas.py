@@ -62,8 +62,19 @@ def _pick_hc(H: int, requested: int) -> int:
 # small-Q / large-K : flash over K blocks, hc heads per cell
 
 
-def _smallq_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_ref,
-                   l_ref, acc_ref, *, scale: float, use_mask: bool, hc: int):
+def _drop_keep(shape, p_drop: float):
+    """Bernoulli keep-mask scaled by 1/(1-p) from the in-kernel PRNG.
+    Callers must prng_seed identically in forward and backward so the
+    same elements drop in both (tile partitioning must match too)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    thresh = jnp.uint32(min(int(p_drop * 4294967296.0), 4294967295))
+    return (bits >= thresh).astype(jnp.float32) * (1.0 / (1.0 - p_drop))
+
+
+def _smallq_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+                   m_ref, l_ref, acc_ref, *, scale: float, use_mask: bool,
+                   hc: int, p_drop: float = 0.0):
+    g = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -73,6 +84,8 @@ def _smallq_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     valid = mask_ref[0] != 0 if use_mask else None  # (1, BK)
+    if p_drop > 0.0:
+        pltpu.prng_seed(seed_ref[0] + g * pl.num_programs(1) + j)
 
     for h in range(hc):
         q = q_ref[0, h]  # (NQ, D)
@@ -91,9 +104,12 @@ def _smallq_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_ref,
         if use_mask:
             p = jnp.where(valid, p, 0.0)
         alpha = jnp.exp(m_prev - m_new)
+        # dropout applies AFTER the softmax: the denominator accumulates
+        # the undropped p, only the PV accumulation sees the keep mask
         l_new = l_ref[h] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        p_acc = p * _drop_keep(p.shape, p_drop) if p_drop > 0.0 else p
         acc = acc_ref[h] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, h], (((1,), (0,)), ((), ())),
+            p_acc.astype(v_ref.dtype), v_ref[0, h], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_ref[h] = m_new
@@ -115,10 +131,12 @@ def _smallq_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_k", "heads_per_cell")
+    jax.jit,
+    static_argnames=("scale", "block_k", "heads_per_cell", "p_drop"),
 )
-def _smallq_attention(q, k, v, mask, *, scale: float, block_k: int = 2048,
-                      heads_per_cell: int = 8):
+def _smallq_attention(q, k, v, mask, seed=None, *, scale: float,
+                      block_k: int = 2048, heads_per_cell: int = 8,
+                      p_drop: float = 0.0):
     """q: (G, H, NQ, D); k/v: (G, H, NK, D); mask: (G, NK) int32 or None.
 
     Returns (out, lse) with lse (G, H, NQ, 1) fp32 — consumed by the
@@ -132,6 +150,8 @@ def _smallq_attention(q, k, v, mask, *, scale: float, block_k: int = 2048,
     use_mask = mask is not None or pad_k > 0
     if mask is None:
         mask = jnp.ones((G, NK), jnp.int32)
+    if seed is None:
+        seed = jnp.zeros((), jnp.int32)
     if pad_k:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
@@ -148,10 +168,12 @@ def _smallq_attention(q, k, v, mask, *, scale: float, block_k: int = 2048,
 
     out, lse = pl.pallas_call(
         functools.partial(
-            _smallq_kernel, scale=scale, use_mask=use_mask, hc=hc
+            _smallq_kernel, scale=scale, use_mask=use_mask, hc=hc,
+            p_drop=p_drop,
         ),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, hc, NQ, D), lambda g, j: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hc, block_k, D), lambda g, j: (g, 0, j, 0),
@@ -181,7 +203,7 @@ def _smallq_attention(q, k, v, mask, *, scale: float, block_k: int = 2048,
             bytes_accessed=2 * G * H * (NQ * D + 2 * NKp * D),
             transcendentals=G * H * NQ * NKp,
         ),
-    )(qh, kh, vh, maskh)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), qh, kh, vh, maskh)
     return out.reshape(G, H, NQ, D), lse.reshape(G, H, NQ)[..., None]
 
 
@@ -189,7 +211,13 @@ def _smallq_attention(q, k, v, mask, *, scale: float, block_k: int = 2048,
 # large-Q / small-K : K resident, single pass per Q block, hc heads/cell
 
 
-def _largeq_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hc: int):
+def _largeq_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                   hc: int, p_drop: float = 0.0):
+    if p_drop > 0.0:
+        pltpu.prng_seed(
+            seed_ref[0] + pl.program_id(0) * pl.num_programs(1)
+            + pl.program_id(1)
+        )
     for h in range(hc):
         q = q_ref[0, h]  # (BQ, D)
         k = k_ref[0, h]  # (NK, D)
@@ -200,18 +228,23 @@ def _largeq_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hc: int):
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
         denom = jnp.sum(p, axis=1, keepdims=True)
+        pn = p / denom
+        if p_drop > 0.0:
+            pn = pn * _drop_keep(pn.shape, p_drop)
         o = jax.lax.dot_general(
-            (p / denom).astype(v_ref.dtype), v_ref[0, h],
+            pn.astype(v_ref.dtype), v_ref[0, h],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         o_ref[0, h] = o.astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "heads_per_cell")
+    jax.jit,
+    static_argnames=("scale", "block_q", "heads_per_cell", "p_drop"),
 )
-def _largeq_attention(q, k, v, *, scale: float, block_q: int = 1024,
-                      heads_per_cell: int = 4):
+def _largeq_attention(q, k, v, seed=None, *, scale: float,
+                      block_q: int = 1024, heads_per_cell: int = 4,
+                      p_drop: float = 0.0):
     """q: (G, H, NQ, D); k/v: (G, H, NK, D), NK small, no mask."""
     G, H, NQ, D = q.shape
     NK = k.shape[2]
@@ -220,6 +253,8 @@ def _largeq_attention(q, k, v, *, scale: float, block_q: int = 1024,
     pad_q = _cdiv(NQ, block_q) * block_q - NQ
     if pad_q:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    if seed is None:
+        seed = jnp.zeros((), jnp.int32)
     NQp = q.shape[2]
     n_cells = G * H // hc
     qh = q.reshape(n_cells, hc, NQp, D)
@@ -228,9 +263,12 @@ def _largeq_attention(q, k, v, *, scale: float, block_q: int = 1024,
     grid = (n_cells, NQp // block_q)
 
     out = pl.pallas_call(
-        functools.partial(_largeq_kernel, scale=scale, hc=hc),
+        functools.partial(
+            _largeq_kernel, scale=scale, hc=hc, p_drop=p_drop
+        ),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, hc, block_q, D), lambda g, i: (g, 0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hc, NK, D), lambda g, i: (g, 0, 0, 0),
@@ -247,7 +285,7 @@ def _largeq_attention(q, k, v, *, scale: float, block_q: int = 1024,
             bytes_accessed=2 * G * H * (2 * NQp * D + 2 * NK * D),
             transcendentals=G * H * NQp * NK,
         ),
-    )(qh, kh, vh)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), qh, kh, vh)
     out = out.reshape(G, H, NQp, D)
     return out[:, :, :NQ] if pad_q else out
 
@@ -258,9 +296,11 @@ def _largeq_attention(q, k, v, *, scale: float, block_q: int = 1024,
 # run in fp32 so gradients match the fp32 XLA reference formulation.
 
 
-def _smallq_bwd_kernel(q_ref, g_ref, lse_ref, d_ref, k_ref, v_ref, mask_ref,
-                       dq_ref, dk_ref, dv_ref, dq_acc,
-                       *, scale: float, use_mask: bool, hc: int):
+def _smallq_bwd_kernel(seed_ref, q_ref, g_ref, lse_ref, d_ref, k_ref, v_ref,
+                       mask_ref, dq_ref, dk_ref, dv_ref, dq_acc,
+                       *, scale: float, use_mask: bool, hc: int,
+                       p_drop: float = 0.0):
+    gcell = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -268,6 +308,10 @@ def _smallq_bwd_kernel(q_ref, g_ref, lse_ref, d_ref, k_ref, v_ref, mask_ref,
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
     valid = mask_ref[0] != 0 if use_mask else None  # (1, BK)
+    if p_drop > 0.0:
+        # identical seeding + per-h draw order as the forward kernel so
+        # the same elements drop (tile partitioning must match too)
+        pltpu.prng_seed(seed_ref[0] + gcell * pl.num_programs(1) + j)
 
     for h in range(hc):
         q = q_ref[0, h].astype(jnp.float32)  # (NQ, D)
@@ -282,8 +326,10 @@ def _smallq_bwd_kernel(q_ref, g_ref, lse_ref, d_ref, k_ref, v_ref, mask_ref,
         p = jnp.exp(s - lse_ref[0, h])  # exact probs via saved lse
         if use_mask:
             p = jnp.where(valid, p, 0.0)
+        keep = _drop_keep(p.shape, p_drop) if p_drop > 0.0 else None
+        p_v = p * keep if keep is not None else p
         dv_ref[0, h] = jax.lax.dot_general(
-            p, g, (((0,), (0,)), ((), ())),
+            p_v, g, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         ).astype(dv_ref.dtype)
@@ -292,6 +338,8 @@ def _smallq_bwd_kernel(q_ref, g_ref, lse_ref, d_ref, k_ref, v_ref, mask_ref,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+        if keep is not None:
+            dp = dp * keep  # dL/dP through the dropout mask
         ds = p * (dp - d_ref[0, h]) * scale  # (NQ, BK)
         dk_ref[0, h] = jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
@@ -310,11 +358,15 @@ def _smallq_bwd_kernel(q_ref, g_ref, lse_ref, d_ref, k_ref, v_ref, mask_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_k", "heads_per_cell")
+    jax.jit,
+    static_argnames=("scale", "block_k", "heads_per_cell", "p_drop"),
 )
-def _smallq_backward(q, k, v, mask, out, lse, g, *, scale: float,
-                     block_k: int = 512, heads_per_cell: int = 4):
-    """Flash backward for the small-Q regime. mask: (G, NK) int32|None."""
+def _smallq_backward(q, k, v, mask, out, lse, g, seed=None, *, scale: float,
+                     block_k: int = 512, heads_per_cell: int = 4,
+                     p_drop: float = 0.0):
+    """Flash backward for the small-Q regime. mask: (G, NK) int32|None.
+    With p_drop > 0, (block_k, heads_per_cell, seed) MUST equal the
+    forward call's so the regenerated dropout mask matches."""
     G, H, NQ, D = q.shape
     NK = k.shape[2]
     hc = _pick_hc(H, heads_per_cell)
@@ -323,6 +375,8 @@ def _smallq_backward(q, k, v, mask, out, lse, g, *, scale: float,
     use_mask = mask is not None or pad_k > 0
     if mask is None:
         mask = jnp.ones((G, NK), jnp.int32)
+    if seed is None:
+        seed = jnp.zeros((), jnp.int32)
     if pad_k:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
@@ -356,10 +410,12 @@ def _smallq_backward(q, k, v, mask, out, lse, g, *, scale: float,
 
     dq, dk, dv = pl.pallas_call(
         functools.partial(
-            _smallq_bwd_kernel, scale=scale, use_mask=use_mask, hc=hc
+            _smallq_bwd_kernel, scale=scale, use_mask=use_mask, hc=hc,
+            p_drop=p_drop,
         ),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             qspec, qspec, vecspec, vecspec, kspec, kspec,
             pl.BlockSpec((1, 1, block_k), lambda g_, j: (g_, 0, j),
                          memory_space=pltpu.VMEM),
@@ -376,7 +432,8 @@ def _smallq_backward(q, k, v, mask, out, lse, g, *, scale: float,
             bytes_accessed=4 * G * H * (2 * NQ * D + 3 * NKp * D),
             transcendentals=G * H * NQ * NKp,
         ),
-    )(qh, gh, lseh, dh, kh, vh, maskh)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), qh, gh, lseh, dh, kh, vh,
+      maskh)
     dq = dq.reshape(G, H, NQ, D)
     dk = dk.reshape(G, H, NKp, D)
     dv = dv.reshape(G, H, NKp, D)
@@ -386,15 +443,21 @@ def _smallq_backward(q, k, v, mask, out, lse, g, *, scale: float,
     return dq, dk, dv
 
 
-def _largeq_bwd_kernel(q_ref, g_ref, k_ref, v_ref,
+def _largeq_bwd_kernel(seed_ref, q_ref, g_ref, k_ref, v_ref,
                        dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-                       *, scale: float, hc: int):
+                       *, scale: float, hc: int, p_drop: float = 0.0):
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    if p_drop > 0.0:
+        # identical seeding + draw order as the forward kernel
+        pltpu.prng_seed(
+            seed_ref[0] + pl.program_id(0) * pl.num_programs(1) + i
+        )
 
     for h in range(hc):
         q = q_ref[0, h].astype(jnp.float32)  # (BQ, D)
@@ -409,14 +472,16 @@ def _largeq_bwd_kernel(q_ref, g_ref, k_ref, v_ref,
         m = jnp.max(s, axis=1, keepdims=True)
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=1, keepdims=True)  # (BQ, NK)
+        keep = _drop_keep(p.shape, p_drop) if p_drop > 0.0 else None
+        p_v = p * keep if keep is not None else p
         o = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p_v, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
         dvec = jnp.sum(g * o, axis=1, keepdims=True)  # (BQ, 1)
         dv_acc[h] += jax.lax.dot_general(
-            p, g, (((0,), (0,)), ((), ())),
+            p_v, g, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -425,6 +490,8 @@ def _largeq_bwd_kernel(q_ref, g_ref, k_ref, v_ref,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+        if keep is not None:
+            dp = dp * keep  # dL/dP through the dropout mask
         ds = p * (dp - dvec) * scale  # (BQ, NK)
         dq_ref[0, h] = jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
@@ -444,12 +511,16 @@ def _largeq_bwd_kernel(q_ref, g_ref, k_ref, v_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "heads_per_cell")
+    jax.jit,
+    static_argnames=("scale", "block_q", "heads_per_cell", "p_drop"),
 )
-def _largeq_backward(q, k, v, g, *, scale: float, block_q: int = 512,
-                     heads_per_cell: int = 4):
+def _largeq_backward(q, k, v, g, seed=None, *, scale: float,
+                     block_q: int = 512, heads_per_cell: int = 4,
+                     p_drop: float = 0.0):
     """Flash backward for the large-Q regime (no mask; O and D are
-    recomputed in-kernel — nothing needs saving from the forward)."""
+    recomputed in-kernel — nothing needs saving from the forward).
+    With p_drop > 0, (block_q, heads_per_cell, seed) MUST equal the
+    forward call's so the regenerated dropout mask matches."""
     G, H, NQ, D = q.shape
     NK = k.shape[2]
     hc = _pick_hc(H, heads_per_cell)
@@ -458,6 +529,8 @@ def _largeq_backward(q, k, v, g, *, scale: float, block_q: int = 512,
     if pad_q:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
         g = jnp.pad(g, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    if seed is None:
+        seed = jnp.zeros((), jnp.int32)
     NQp = q.shape[2]
     n_cells = G * H // hc
     qh = q.reshape(n_cells, hc, NQp, D)
@@ -472,9 +545,14 @@ def _largeq_backward(q, k, v, g, *, scale: float, block_q: int = 512,
                          memory_space=pltpu.VMEM)
 
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_largeq_bwd_kernel, scale=scale, hc=hc),
+        functools.partial(
+            _largeq_bwd_kernel, scale=scale, hc=hc, p_drop=p_drop
+        ),
         grid=grid,
-        in_specs=[qspec, qspec, kspec, kspec],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            qspec, qspec, kspec, kspec,
+        ],
         out_specs=(qspec, kspec, kspec),
         out_shape=(
             jax.ShapeDtypeStruct((n_cells, hc, NQp, D), q.dtype),
@@ -490,7 +568,7 @@ def _largeq_backward(q, k, v, g, *, scale: float, block_q: int = 512,
             bytes_accessed=4 * G * H * (3 * NQp * D + 2 * NK * D),
             transcendentals=G * H * NQp * NK,
         ),
-    )(qh, gh, kh, vh)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), qh, gh, kh, vh)
     dq = dq.reshape(G, H, NQp, D)
     if pad_q:
         dq = dq[:, :, :NQ]
@@ -605,3 +683,102 @@ def _fused_bwd(res, g):
 
 
 fused_attention.defvjp(_fused_fwd, _fused_bwd)
+
+# ---------------------------------------------------------------------------
+# dropout-enabled variant (training path for attn_pdrop > 0)
+
+# forward and backward MUST share these so the regenerated in-kernel
+# dropout masks line up element-for-element
+_DROP_SMALLQ = dict(block_k=1024, heads_per_cell=4)
+_DROP_LARGEQ = dict(block_q=1024, heads_per_cell=4)
+
+
+def _xla_dropout_attention(q, k, v, key_mask, rate, rng):
+    """Differentiable XLA fallback: masked softmax + post-softmax
+    dropout (nn.Dropout semantics), used off-TPU / out-of-regime."""
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    if key_mask is not None:
+        s = jnp.where(key_mask[:, None, None, :], s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    e = jnp.exp(s - m)
+    if key_mask is not None:
+        e = jnp.where(key_mask[:, None, None, :], e, 0.0)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / jnp.where(denom == 0, 1.0, denom)
+    keep = jax.random.bernoulli(rng, 1.0 - rate, p.shape)
+    p = jnp.where(keep, p / (1.0 - rate), 0.0).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_dropout_op(q, k, v, key_mask, seed, rate):
+    return _fused_dropout_fwd_impl(q, k, v, key_mask, seed, rate)[0]
+
+
+def _fused_dropout_fwd_impl(q, k, v, key_mask, seed, rate):
+    D = q.shape[-1]
+    NQ = q.shape[2]
+    NK = k.shape[2]
+    scale = 1.0 / (D**0.5)
+    regime = _regime(NQ, NK, key_mask)
+    if regime == "smallq":
+        mask = None if key_mask is None else key_mask.astype(jnp.int32)
+        out, lse = _smallq_attention(
+            q, k, v, mask, seed, scale=scale, p_drop=rate, **_DROP_SMALLQ
+        )
+        return out, lse
+    assert regime == "largeq", "xla regime handled by the caller"
+    out = _largeq_attention(
+        q, k, v, seed, scale=scale, p_drop=rate, **_DROP_LARGEQ
+    )
+    return out, None
+
+
+def _fused_dropout_fwd(q, k, v, key_mask, seed, rate):
+    out, lse = _fused_dropout_fwd_impl(q, k, v, key_mask, seed, rate)
+    return out, (q, k, v, key_mask, seed, out, lse)
+
+
+def _fused_dropout_bwd(rate, res, g):
+    q, k, v, key_mask, seed, out, lse = res
+    D = q.shape[-1]
+    NQ = q.shape[2]
+    NK = k.shape[2]
+    scale = 1.0 / (D**0.5)
+    regime = _regime(NQ, NK, key_mask)
+    if regime == "smallq":
+        mask = None if key_mask is None else key_mask.astype(jnp.int32)
+        dq, dk, dv = _smallq_backward(
+            q, k, v, mask, out, lse, g, seed, scale=scale, p_drop=rate,
+            **_DROP_SMALLQ,
+        )
+    else:
+        dq, dk, dv = _largeq_backward(
+            q, k, v, g, seed, scale=scale, p_drop=rate, **_DROP_LARGEQ
+        )
+    return dq, dk, dv, None, None
+
+
+_fused_dropout_op.defvjp(_fused_dropout_fwd, _fused_dropout_bwd)
+
+
+def fused_dropout_attention(q, k, v, key_mask, rate, dropout_rng):
+    """Training attention with post-softmax dropout on probabilities
+    (nn.Dropout semantics). On TPU, both supported regimes run fully in
+    the flash kernels with the dropout mask generated in-kernel
+    (identical seed + tiling on the backward, so the same elements drop
+    in both passes); the probability tensor never touches HBM. Off-TPU
+    or out-of-regime falls back to the differentiable dense form.
+
+    The dropout distribution is i.i.d. Bernoulli either way; the PRNG
+    (hardware vs threefry) is not part of the algorithm.
+    """
+    if rate <= 0.0:
+        return fused_attention(q, k, v, key_mask)
+    regime = _regime(q.shape[2], k.shape[2], key_mask)
+    if jax.default_backend() != "tpu" or regime == "xla":
+        return _xla_dropout_attention(q, k, v, key_mask, rate, dropout_rng)
+    seed = jax.random.bits(dropout_rng, (), jnp.uint32).astype(jnp.int32)
+    return _fused_dropout_op(q, k, v, key_mask, seed, float(rate))
