@@ -77,6 +77,7 @@ def staged_split(n_layer: int, mode: Sequence[str]) -> int | None:
     return k
 
 
+
 # Kernel init matching the reference: N(0, 0.02) weights, zero bias
 # (gpt.py:225-232).
 dense_init = nn.initializers.normal(stddev=0.02)
@@ -138,20 +139,33 @@ class CrossAttention(nn.Module):
     resid_pdrop: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, query, key, key_mask=None, *, deterministic=True):
-        B, NQ, C = query.shape
+    def setup(self):
         Dh = self.n_embd // self.n_head
-        H = self.n_head
-
         # Parameters keep the torch-compatible (D, D) Dense tree layout
         # (attn/{query,key,value,proj}/{kernel,bias}); the head split +
         # (B, H, N, Dh) transpose is folded into the projection einsum
         # so XLA emits no separate layout-copy ops.
-        q = HeadSplitProj(H, Dh, dtype=self.dtype, name="query")(query)
-        k = HeadSplitProj(H, Dh, dtype=self.dtype, name="key")(key)
-        v = HeadSplitProj(H, Dh, dtype=self.dtype, name="value")(key)
+        self.query = HeadSplitProj(self.n_head, Dh, dtype=self.dtype,
+                                   name="query")
+        self.key = HeadSplitProj(self.n_head, Dh, dtype=self.dtype,
+                                 name="key")
+        self.value = HeadSplitProj(self.n_head, Dh, dtype=self.dtype,
+                                   name="value")
+        self.proj = HeadMergeProj(self.n_embd, dtype=self.dtype,
+                                  name="proj")
+        self.resid_drop = nn.Dropout(self.resid_pdrop)
 
+    def project_kv(self, key):
+        """K/V head projections of an (already normalized) key stream —
+        exposed so decode can cache them across steps (the latent_enc
+        key stream is a pure per-token function of the embedding
+        canvas)."""
+        return self.key(key), self.value(key)
+
+    def attend(self, query, k, v, key_mask=None, *, deterministic=True):
+        """Attention given precomputed K/V; query is the normalized
+        query stream."""
+        q = self.query(query)
         if self.attn_pdrop > 0.0 and not deterministic:
             # Dropout on attention probabilities. On TPU both routed
             # regimes run fully in the flash kernels with the mask
@@ -174,9 +188,15 @@ class CrossAttention(nn.Module):
         else:
             y = masked_attention(q, k, v, key_mask)
 
-        y = HeadMergeProj(self.n_embd, dtype=self.dtype, name="proj")(y)
-        y = nn.Dropout(self.resid_pdrop)(y, deterministic=deterministic)
+        y = self.proj(y)
+        y = self.resid_drop(y, deterministic=deterministic)
         return y.astype(query.dtype)
+
+    def __call__(self, query, key, key_mask=None, *, deterministic=True):
+        k, v = self.project_kv(key)
+        return self.attend(
+            query, k, v, key_mask, deterministic=deterministic
+        )
 
 
 class Mlp(nn.Module):
@@ -215,13 +235,10 @@ class Block(nn.Module):
     resid_pdrop: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(
-        self, latents, tokens, ctx_mask, tgt_mask, deterministic=True
-    ):
-        ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")
-        ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")
-        attn = CrossAttention(
+    def setup(self):
+        self.ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")
+        self.ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")
+        self.attn = CrossAttention(
             n_embd=self.n_embd,
             n_head=self.n_head,
             attn_pdrop=self.attn_pdrop,
@@ -229,13 +246,16 @@ class Block(nn.Module):
             dtype=self.dtype,
             name="attn",
         )
-        mlp = Mlp(
+        self.mlp = Mlp(
             n_embd=self.n_embd,
             resid_pdrop=self.resid_pdrop,
             dtype=self.dtype,
             name="mlp",
         )
 
+    def __call__(
+        self, latents, tokens, ctx_mask, tgt_mask, deterministic=True
+    ):
         if self.mode == "latent_self":
             query, key, key_mask = latents, latents, None
         elif self.mode == "latent_enc":
@@ -255,10 +275,10 @@ class Block(nn.Module):
         else:
             raise ValueError(self.mode)
 
-        qn = ln1(query)
-        kn = ln1(key)
-        x = qn + attn(qn, kn, key_mask, deterministic=deterministic)
-        x = x + mlp(ln2(x), deterministic=deterministic)
+        qn = self.ln1(query)
+        kn = self.ln1(key)
+        x = qn + self.attn(qn, kn, key_mask, deterministic=deterministic)
+        x = x + self.mlp(self.ln2(x), deterministic=deterministic)
 
         if self.mode in ("latent_enc", "latent_self", "lt2l"):
             latents = x
