@@ -31,6 +31,9 @@ def build_argparser():
     p.add_argument("--total_length", type=int, default=16)
     p.add_argument("--context_size", type=int, default=12)
     p.add_argument("--step_size", type=int, default=16)
+    # reference-CLI compatibility (dnr script argparse)
+    p.add_argument("--latest", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true")
     return p
 
 
@@ -90,6 +93,8 @@ def main(argv=None):
 
     if args.exp_name:
         args.save = f"results/{args.exp_name}"
+        if args.latest:
+            args.save += "_latest"
     tag = save_tag(args).replace(f"_run{args.run}", f"{postfix}_run{args.run}")
     save_dir = os.path.join(
         args.save, f"videos_{args.total_length}", args.dataset, tag

@@ -37,6 +37,9 @@ def build_argparser():
     p.add_argument("--score_file", type=str, default="")
     p.add_argument("--n_sample", type=int, default=2048)
     p.add_argument("--n_neighbor", type=int, default=5)
+    p.add_argument("--compute_fvd", action="store_true",
+                   help="accepted for reference-CLI compatibility; FVD and "
+                   "KVD are always computed")
     p.add_argument(
         "--dataset", type=str, default="mshapes",
         choices=["mshapes", "ucf101", "sky", "taichi"],

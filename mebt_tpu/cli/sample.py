@@ -34,7 +34,7 @@ def build_argparser():
     p.add_argument("--schedule", type=str, default="cosine")
     p.add_argument(
         "--decoding_strategy", type=str, default="maskgit",
-        choices=["maskgit", "random"],
+        choices=["maskgit", "random", "entp", "ar"],
     )
     p.add_argument(
         "--ctemp_schedule", type=str, default="linear",
@@ -45,6 +45,17 @@ def build_argparser():
         help="TPU-accelerated approximate top-k filter (recall 0.99) "
         "instead of the exact vocab-wide sort; ~2x faster 128f decode",
     )
+    # reference-CLI compatibility (sample script:170-190). The
+    # valid_dnr pipelines pass --no_phase (the reference asserts without
+    # it) and it suffixes the output names; frame_* feed the reference's
+    # dead first-frame phase and are accepted-and-ignored like upstream.
+    p.add_argument("--no_phase", action="store_true")
+    p.add_argument("--frame_c_temp", type=float, default=4.5)
+    p.add_argument("--frame_n_steps", type=int, default=16)
+    p.add_argument("--latest", action="store_true",
+                   help="with --exp_name: suffix save dir with _latest "
+                   "(orbax discovery already picks the newest step)")
+    p.add_argument("-v", "--verbose", action="store_true")
     return p
 
 
@@ -56,8 +67,11 @@ def save_tag(args) -> str:
         tag += f"_p{args.top_p}"
     tag += (
         f"_temp{args.temp}_ctemp{args.vid_c_temp}{args.ctemp_schedule}"
-        f"_{args.decoding_strategy}_{args.schedule}_run{args.run}"
+        f"_{args.decoding_strategy}_{args.schedule}"
     )
+    if args.no_phase:
+        tag += "_no_phase"  # reference naming (sample script:236-237)
+    tag += f"_run{args.run}"
     return tag
 
 
@@ -80,6 +94,8 @@ def main(argv=None):
 
     if args.exp_name:
         args.save = f"results/{args.exp_name}"
+        if args.latest:
+            args.save += "_latest"  # reference sample script:213
     tag = save_tag(args)
     save_dir = os.path.join(
         args.save, f"videos_{args.total_length}", args.dataset, tag

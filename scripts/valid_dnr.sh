@@ -21,7 +21,7 @@ fi
 I3D_CKPT=${I3D_CKPT:-ckpts/i3d_pretrained_400.pt}
 
 for RUN in $RUNS; do
-    MG_TAG="VID_n_steps${N_STEPS}${TOPK_TAG}_temp1.0_ctemp${CTEMP}linear_maskgit_cosine_run${RUN}"
+    MG_TAG="VID_n_steps${N_STEPS}${TOPK_TAG}_temp1.0_ctemp${CTEMP}linear_maskgit_cosine_no_phase_run${RUN}"
     NP_DIR="results/${EXP}/numpy_files_${LENGTH}/${DATASET}"
 
     python -m mebt_tpu.cli.sample --base $CONFIG \
@@ -30,7 +30,7 @@ for RUN in $RUNS; do
         --context_size $LENGTH --step_size $LENGTH \
         --dataset $DATASET --n_sample $N_SAMPLE --run $RUN \
         --batch_size $BATCH --save_videos --save_n 5 \
-        --decoding_strategy maskgit $TOPK_ARGS $BS_ARGS \
+        --decoding_strategy maskgit --no_phase $TOPK_ARGS $BS_ARGS \
         --save_codemap $EXTRA_SAMPLE
 
     python -m mebt_tpu.cli.measure_fvd --batch_size 16 \
