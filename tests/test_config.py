@@ -62,3 +62,12 @@ def test_load_reference_style_yaml(tmp_path):
     mask = instantiate_from_config(cfg.model.mask)
     assert mask.seq_len == 1024
     assert mask.schedule == "linear"
+
+
+def test_package_toplevel_api():
+    """The lazy top-level exports resolve (a framework user's import
+    surface: `from mebt_tpu import MeBT, MeBTTrainer, ...`)."""
+    import mebt_tpu
+
+    for name in mebt_tpu.__all__:
+        assert getattr(mebt_tpu, name) is not None, name
