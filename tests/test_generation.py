@@ -139,3 +139,39 @@ def test_dnr_cli_with_np_draft(tiny_cfg, tmp_path):
     )
     data = [np.load(f) for f in npys if f.endswith(".npy")]
     assert data and data[0].shape == (4, 16, 32, 32, 3)
+
+
+def test_sample_cli_extrapolate_base_np(tiny_cfg, tmp_path):
+    """--base_np seeds a saved codemap and extends it by window shifts
+    (reference extrapolate:95-157, the edit=True path)."""
+    from mebt_tpu.cli.sample import main
+
+    rng = np.random.default_rng(1)
+    seed_codes = rng.integers(0, 64, size=(2, 4, 4, 4)).astype(np.int64)
+    seed_path = tmp_path / "seed_codemap.npy"
+    np.save(seed_path, seed_codes)
+
+    main(
+        [
+            "--base", str(tiny_cfg),
+            "--random_weights",
+            "--base_np", str(seed_path),
+            "--n_sample", "2",
+            "--batch_size", "2",
+            "--vid_n_steps", "4",
+            "--total_length", "32",
+            "--step_size", "16",
+            "--context_size", "12",
+            "--save", str(tmp_path / "extr"),
+            "--dataset", "stl",
+            "--no_np",
+            "--save_codemap",
+        ]
+    )
+    npys = glob.glob(
+        str(tmp_path / "extr" / "numpy_files_32" / "stl" / "*codemap.npy")
+    )
+    codes = np.load(npys[0])
+    assert codes.shape == (2, 8, 4, 4)
+    # the seed window is preserved verbatim at the front
+    np.testing.assert_array_equal(codes[:, :4], seed_codes)
