@@ -56,6 +56,11 @@ def build_argparser():
                    help="with --exp_name: suffix save dir with _latest "
                    "(orbax discovery already picks the newest step)")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument(
+        "--profile", type=str, default="",
+        help="dump a jax.profiler XPlane trace of the SECOND batch "
+        "(post-compile) to this directory",
+    )
     return p
 
 
@@ -116,6 +121,8 @@ def main(argv=None):
     all_pix, all_code, all_score = [], [], []
     n_row = min(int(np.sqrt(args.batch_size)), 4)
     for i in range(n_batch):
+        if args.profile and i == 1:  # batch 0 pays the compiles
+            jax.profiler.start_trace(args.profile)
         rng, r = jax.random.split(rng)
         if base_np is None:
             res = bidirect_generate(
@@ -152,6 +159,9 @@ def main(argv=None):
         all_code.append(res.code_maps)
         all_score.append(res.score)
         print(f"batch {i + 1}/{n_batch} done", flush=True)
+        if args.profile and i == 1:
+            jax.profiler.stop_trace()
+            print(f"XPlane trace written to {args.profile}", flush=True)
 
     codes = np.concatenate(all_code, 0)[: args.n_sample]
     if args.save_codemap:
