@@ -74,3 +74,22 @@ def test_time_reference_toy_recipe(reference_on_path, monkeypatch, capsys):
     assert out["metric"] == "reference_stl16f_generation_throughput"
     assert out["value"] > 0
     assert out["unit"] == "videos/sec/device"
+
+
+@pytest.mark.slow
+def test_time_reference_toy_128f_recipe(reference_on_path, monkeypatch,
+                                        capsys):
+    """Toy 128f recipe: exercises the bootstrap + top-k path of the
+    reference driver through the harness."""
+    import time_reference
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["time_reference.py", "--device", "cpu", "--recipe", "stl128f",
+         "--toy", "--runs", "1"],
+    )
+    time_reference.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["metric"] == "reference_stl128f_generation_throughput"
+    assert out["value"] > 0
