@@ -54,7 +54,7 @@ def _head_sample_kernel(
     seed_ref, x_ref, w_ref,
     sample_ref, prob_ref,
     m_ref, s_ref, best_ref, besti_ref, bestl_ref,
-    *, inv_temp: float,
+    *, inv_temp: float, valid_v: int | None,
 ):
     i = pl.program_id(0)  # row tile (outer — x tile stays resident)
     j = pl.program_id(1)  # vocab chunk (inner — accumulators are local)
@@ -75,6 +75,11 @@ def _head_sample_kernel(
         x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * inv_temp  # (TR, VC)
+    if valid_v is not None:
+        # W was padded to a lane-aligned multiple of vc; padding columns
+        # must never win the argmax nor contribute to the logsumexp
+        col_g = j * vc + jax.lax.broadcasted_iota(jnp.int32, (tr, vc), 1)
+        l = jnp.where(col_g < valid_v, l, -1e30)
 
     # Exp(1) noise: q = -log(U). uint32 -> f32 casts are unsupported in
     # Mosaic; splice the top 23 bits into a [1, 2) mantissa instead,
@@ -120,6 +125,196 @@ def _head_sample_kernel(
         ).reshape(1, tr)
 
 
+def _head_topk_sample_kernel(
+    seed_ref, x_ref, w_ref,
+    sample_ref, prob_ref,
+    bufv_ref, bufp_ref, bufi_ref,
+    *, inv_temp: float, k: int, valid_v: int | None,
+):
+    """Streaming exact top-k + gumbel sampling.
+
+    Per row tile, a (TR, k) buffer holds the running top-k SCALED logits
+    sorted descending, with each entry's gumbel-perturbed value and
+    global index as payload. Per vocab chunk, candidates that beat the
+    current kth-best are extracted one at a time (masked max) and
+    sorted-inserted — after the first chunk only ~k/j candidates per row
+    survive the threshold, so the while-loop runs O(k·ln nchunks) total
+    iterations instead of k per chunk. At the last chunk the buffer IS
+    the top-k set: winner = argmax of perturbed among the k entries
+    (sampling from the renormalized top-k softmax restricted to the set
+    preserves relative probabilities), threshold and logsumexp come from
+    the same k values. Exact up to ties at the kth value (the reference
+    keeps all tied entries; measure-zero for continuous logits — same
+    caveat as ops/sampling.py:sample_topk_tokens)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    tr = x_ref.shape[0]
+    vc = w_ref.shape[1]
+    row0 = i * tr
+
+    @pl.when(j == 0)
+    def _():
+        bufv_ref[:] = jnp.full((tr, k), -1e30, jnp.float32)
+        bufp_ref[:] = jnp.full((tr, k), -1e30, jnp.float32)
+        bufi_ref[:] = jnp.zeros((tr, k), jnp.int32)
+
+    l = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_temp  # (TR, VC) scaled logits
+    col = jax.lax.broadcasted_iota(jnp.int32, (tr, vc), 1)
+    if valid_v is not None:
+        l = jnp.where(col + j * vc < valid_v, l, -1e30)
+
+    pltpu.prng_seed(seed_ref[0] + i * nj + j)
+    bits = pltpu.bitcast(pltpu.prng_random_bits((tr, vc)), jnp.uint32)
+    fbits = (bits >> 9) | jnp.uint32(0x3F800000)
+    u = (pltpu.bitcast(fbits, jnp.float32) - 1.0) + 2.9802322e-8
+    pert = l - jnp.log(-jnp.log(u))  # l/T - log q, q ~ Exp(1)
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, (tr, k), 1)
+
+    def cond(c):
+        it, work, bv, bp, bi = c
+        mrow = jnp.max(work, axis=1, keepdims=True)
+        return jnp.logical_and(
+            it < k, jnp.max(mrow - bv[:, k - 1:k]) > 0
+        )
+
+    def body(c):
+        it, work, bv, bp, bi = c
+        pv = jnp.max(work, axis=1, keepdims=True)  # (TR, 1)
+        valid = pv > bv[:, k - 1:k]
+        arg = jnp.argmax(work, axis=1).reshape(tr, 1)
+        sel = col == arg
+        pp = jnp.max(jnp.where(sel, pert, -1e30), axis=1, keepdims=True)
+        gidx = arg + j * vc
+        pos = jnp.sum((bv >= pv).astype(jnp.int32), axis=1, keepdims=True)
+        sv = jnp.concatenate([bv[:, :1], bv[:, :-1]], axis=1)
+        sp = jnp.concatenate([bp[:, :1], bp[:, :-1]], axis=1)
+        si = jnp.concatenate([bi[:, :1], bi[:, :-1]], axis=1)
+        nv = jnp.where(slot < pos, bv, jnp.where(slot == pos, pv, sv))
+        np_ = jnp.where(slot < pos, bp, jnp.where(slot == pos, pp, sp))
+        ni = jnp.where(slot < pos, bi, jnp.where(slot == pos, gidx, si))
+        bv = jnp.where(valid, nv, bv)
+        bp = jnp.where(valid, np_, bp)
+        bi = jnp.where(valid, ni, bi)
+        work = jnp.where(sel & valid, -1e30, work)
+        return it + 1, work, bv, bp, bi
+
+    _, _, bv, bp, bi = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), l, bufv_ref[:], bufp_ref[:], bufi_ref[:]),
+    )
+    bufv_ref[:] = bv
+    bufp_ref[:] = bp
+    bufi_ref[:] = bi
+
+    @pl.when(j == nj - 1)
+    def _():
+        bv = bufv_ref[:]
+        bp = bufp_ref[:]
+        bi = bufi_ref[:]
+        warg = jnp.argmax(bp, axis=1).reshape(tr, 1)
+        wsel = slot == warg
+        wl = jnp.max(jnp.where(wsel, bv, -1e30), axis=1, keepdims=True)
+        wi = jnp.max(jnp.where(wsel, bi, -1), axis=1, keepdims=True)
+        mmax = bv[:, :1]
+        lse = mmax + jnp.log(
+            jnp.sum(jnp.exp(bv - mmax), axis=1, keepdims=True)
+        )
+        sample_ref[:, pl.ds(row0, tr)] = wi.reshape(1, tr)
+        prob_ref[:, pl.ds(row0, tr)] = jnp.exp(wl - lse).reshape(1, tr)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "temperature", "row_tile", "vocab_chunk"),
+)
+def fused_head_topk_sample(
+    x: jax.Array,  # (R, D) post-ln_f tokens (any float dtype)
+    w: jax.Array,  # (D, V) head kernel
+    seed: jax.Array,  # () uint32/int32 — per-step seed
+    k: int,
+    *,
+    temperature: float = 1.0,
+    row_tile: int = 1024,
+    vocab_chunk: int = 512,
+):
+    """(samples (R,) int32, chosen_prob (R,) fp32) drawn from the
+    top-k-filtered softmax(x @ w / temperature) per row — logits never
+    touch HBM (reference top_k_logits + gumbel draw,
+    transformer.py:843-895).
+
+    STATUS: measured 1.2-1.5x SLOWER than the unfused
+    matmul + sample_topk_tokens path at 128f shapes in a same-window
+    A/B on the target chip (the data-dependent extraction while-loop
+    defeats Mosaic's chunk pipelining); the decode engine therefore
+    keeps top-k decoding unfused (sampler/decode.py). Kept as a
+    correct, tested implementation for future revisit
+    (PERFORMANCE.md "Tried and rejected")."""
+    R, D = x.shape
+    V = w.shape[1]
+    k = int(min(k, V))
+    tr = min(row_tile, R)
+    tr = max(128, -(-tr // 128) * 128)
+    pad_r = _cdiv(R, tr) * tr - R
+    if pad_r:
+        x = jnp.pad(x, ((0, pad_r), (0, 0)))
+    Rp = x.shape[0]
+    Vp = -(-V // 128) * 128
+    vc = min(vocab_chunk, Vp)
+    Vp = _cdiv(Vp, vc) * vc
+    if Vp != V:
+        w = jnp.pad(w, ((0, 0), (0, Vp - V)))
+    w = w.astype(x.dtype)
+    grid = (Rp // tr, Vp // vc)
+
+    samples, probs = pl.pallas_call(
+        functools.partial(
+            _head_topk_sample_kernel,
+            inv_temp=1.0 / (float(temperature) + 1e-8),
+            k=k,
+            valid_v=None if Vp == V else V,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tr, D), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, vc), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Rp), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Rp), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, Rp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Rp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tr, k), jnp.float32),  # top-k scaled logits
+            pltpu.VMEM((tr, k), jnp.float32),  # their perturbed values
+            pltpu.VMEM((tr, k), jnp.int32),    # their global indices
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Rp * D * Vp,
+            bytes_accessed=(Vp // vc) * Rp * D * 2 + D * Vp * 2 + Rp * 8,
+            transcendentals=2 * Rp * Vp,
+        ),
+    )(jnp.asarray(seed, jnp.int32).reshape(1), x, w)
+    samples = samples[0]
+    probs = probs[0]
+    if pad_r:
+        samples = samples[:R]
+        probs = probs[:R]
+    return samples, probs
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("temperature", "row_tile", "vocab_chunk"),
@@ -145,16 +340,22 @@ def fused_head_sample(
     if pad_r:
         x = jnp.pad(x, ((0, pad_r), (0, 0)))
     Rp = x.shape[0]
-    vc = min(vocab_chunk, V)
-    assert V % vc == 0, "vocab must divide vocab_chunk"
+    # lane-align the vocab axis and make the chunk width divide it; any
+    # vocab size works — padding columns are masked to -1e30 in-kernel
+    Vp = -(-V // 128) * 128
+    vc = min(vocab_chunk, Vp)
+    Vp = _cdiv(Vp, vc) * vc
+    if Vp != V:
+        w = jnp.pad(w, ((0, 0), (0, Vp - V)))
     w = w.astype(x.dtype)
     n_tiles = Rp // tr
-    grid = (n_tiles, V // vc)
+    grid = (n_tiles, Vp // vc)
 
     samples, probs = pl.pallas_call(
         functools.partial(
             _head_sample_kernel,
             inv_temp=1.0 / (float(temperature) + 1e-8),
+            valid_v=None if Vp == V else V,
         ),
         grid=grid,
         in_specs=[
@@ -184,9 +385,9 @@ def fused_head_sample(
             pltpu.VMEM((tr, 1), jnp.float32),  # best logit
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * Rp * D * V,
-            bytes_accessed=(V // vc) * Rp * D * 2 + D * V * 2 + Rp * 8,
-            transcendentals=2 * Rp * V,
+            flops=2 * Rp * D * Vp,
+            bytes_accessed=(Vp // vc) * Rp * D * 2 + D * Vp * 2 + Rp * 8,
+            transcendentals=2 * Rp * Vp,
         ),
     )(jnp.asarray(seed, jnp.int32).reshape(1), x, w)
     samples = samples[0]

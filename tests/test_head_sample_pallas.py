@@ -12,7 +12,10 @@ import pytest
 
 from jax.experimental.pallas import tpu as pltpu
 
-from mebt_tpu.ops.head_sample_pallas import fused_head_sample
+from mebt_tpu.ops.head_sample_pallas import (
+    fused_head_sample,
+    fused_head_topk_sample,
+)
 
 
 def _setup(rng, R, D, V):
@@ -52,9 +55,117 @@ def test_chosen_prob_is_softmax_at_sample():
     np.testing.assert_allclose(np.asarray(p), want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("V", [96, 300, 700])
+def test_greedy_non_divisible_vocab(V):
+    """Vocab sizes that don't divide the chunk width are handled by
+    lane-padding W and masking the padding columns in-kernel — the
+    padding must never be sampled nor perturb the probabilities."""
+    rng = np.random.default_rng(4)
+    x, w = _setup(rng, 40, 32, V)
+    with pltpu.force_tpu_interpret_mode():
+        s, p = fused_head_sample(
+            x, w, jnp.uint32(9), temperature=0.0,
+            row_tile=16, vocab_chunk=256,
+        )
+    logits = np.asarray(x) @ np.asarray(w)
+    want = np.argmax(logits, axis=-1)
+    np.testing.assert_array_equal(np.asarray(s), want)
+    assert (np.asarray(s) < V).all()
+    np.testing.assert_allclose(np.asarray(p), 1.0, atol=1e-5)
+
+
+def test_chosen_prob_non_divisible_vocab():
+    """Padding columns must not contribute to the logsumexp."""
+    rng = np.random.default_rng(5)
+    V = 200
+    x, w = _setup(rng, 32, 16, V)
+    temp = 0.9
+    with pltpu.force_tpu_interpret_mode():
+        s, p = fused_head_sample(
+            x, w, jnp.uint32(13), temperature=temp,
+            row_tile=32, vocab_chunk=128,
+        )
+    logits = (np.asarray(x) @ np.asarray(w)) / temp
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    want = np.take_along_axis(probs, np.asarray(s)[:, None], axis=-1)[:, 0]
+    np.testing.assert_allclose(np.asarray(p), want, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# fused top-k kernel. Interpret-mode PRNG is a zeros stub -> constant
+# gumbel shift -> the winner is always the global argmax, and chosen_prob
+# exercises the exact top-k buffer (threshold + logsumexp over the k set).
+
+
+@pytest.mark.parametrize("k,V,vc", [(4, 256, 128), (32, 700, 256), (8, 96, 512)])
+def test_topk_greedy_and_prob(k, V, vc):
+    rng = np.random.default_rng(6)
+    x, w = _setup(rng, 72, 32, V)
+    temp = 1.1
+    with pltpu.force_tpu_interpret_mode():
+        s, p = fused_head_topk_sample(
+            x, w, jnp.uint32(21), k, temperature=temp,
+            row_tile=16, vocab_chunk=vc,
+        )
+    logits = (np.asarray(x) @ np.asarray(w)) / (temp + 1e-8)
+    want_s = np.argmax(logits, axis=-1)
+    np.testing.assert_array_equal(np.asarray(s), want_s)
+    # chosen_prob under the top-k FILTERED softmax — validates the whole
+    # running buffer (kth threshold + all k values via the logsumexp)
+    kth = np.sort(logits, axis=-1)[:, -k:]
+    lse = kth.max(-1) + np.log(np.exp(kth - kth.max(-1, keepdims=True)).sum(-1))
+    want_p = np.exp(logits.max(-1) - lse)
+    np.testing.assert_allclose(np.asarray(p), want_p, rtol=1e-4, atol=1e-6)
+
+
+def test_topk_k_geq_vocab_matches_unfiltered():
+    """k >= V degenerates to the unfiltered softmax."""
+    rng = np.random.default_rng(7)
+    V = 128
+    x, w = _setup(rng, 32, 16, V)
+    with pltpu.force_tpu_interpret_mode():
+        s, p = fused_head_topk_sample(
+            x, w, jnp.uint32(3), 999, temperature=1.0,
+            row_tile=32, vocab_chunk=128,
+        )
+    logits = np.asarray(x) @ np.asarray(w)
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    np.testing.assert_array_equal(np.asarray(s), np.argmax(logits, -1))
+    np.testing.assert_allclose(
+        np.asarray(p), probs.max(-1), rtol=1e-4, atol=1e-6
+    )
+
+
 def _require_tpu():
     if jax.default_backend() != "tpu":
         pytest.skip("in-kernel PRNG is a zeros stub off-TPU")
+
+
+def test_topk_sampling_distribution():
+    """TPU only: empirical frequencies over identical rows must match
+    the top-k-filtered softmax — tokens outside the top-k must never be
+    drawn."""
+    _require_tpu()
+    rng = np.random.default_rng(8)
+    D, V, R, k = 16, 256, 4096, 8
+    xrow = rng.normal(size=(1, D)).astype(np.float32)
+    x = jnp.asarray(np.repeat(xrow, R, axis=0))
+    w = jnp.asarray(rng.normal(size=(D, V)).astype(np.float32) * 0.5)
+    s, _ = fused_head_topk_sample(
+        x, w, jnp.uint32(17), k, temperature=1.0,
+        row_tile=128, vocab_chunk=128,
+    )
+    logits = (xrow @ np.asarray(w))[0]
+    top = np.argsort(logits)[-k:]
+    counts = np.bincount(np.asarray(s), minlength=V)
+    assert counts[np.setdiff1d(np.arange(V), top)].sum() == 0
+    probs = np.exp(logits[top] - logits[top].max())
+    probs /= probs.sum()
+    freq = counts[top] / R
+    tol = 4 * np.sqrt(probs * (1 - probs) / R) + 1e-3
+    assert (np.abs(freq - probs) < tol).all(), (freq, probs)
 
 
 def test_sampling_distribution():
