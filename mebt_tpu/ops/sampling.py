@@ -115,6 +115,7 @@ def sample_tokens(
     top_p: float | None = None,
     need_probs: bool = False,
     approx_top_k: bool = False,
+    noise: jax.Array | None = None,
 ):
     """Sample token ids; returns (samples, chosen_prob, probs|None).
 
@@ -124,7 +125,24 @@ def sample_tokens(
     shifts each row by a constant), so the (B, N, V) probability tensor
     is never materialized — at 16x1024x16384 fp32 that saves ~2 GB of
     HBM traffic per decode step. chosen_prob comes from a logsumexp.
+
+    `noise` (optional, (..., V) Exp(1) draws) replaces the internal PRNG
+    — used by the pipeline parity tests to share gumbel noise with the
+    reference implementation; forces the probability-materializing path.
     """
+    if noise is not None:
+        scaled = logits.astype(jnp.float32) / (temperature + 1e-8)
+        if top_k is not None:
+            scaled = top_k_logits(scaled, int(top_k))
+        probs = jax.nn.softmax(scaled, axis=-1)
+        if top_p is not None:
+            probs = top_p_probs(probs, float(top_p))
+        perturbed = jnp.where(probs > 0, probs / noise, 0.0)
+        samples = jnp.argmax(perturbed, axis=-1).astype(jnp.int32)
+        chosen_prob = jnp.take_along_axis(
+            probs, samples[..., None], axis=-1
+        )[..., 0]
+        return samples, chosen_prob, probs
     if (
         top_k is not None
         and top_p is None
@@ -226,16 +244,21 @@ def promote_targets(
       context_temperature: scalar float (traced ok) — ctemp exponent.
       random_scores: replicates strategy='random'/'bootstrap'
         (mask_sampler.py:206-208): scores ~ N(0,1), ctemp forced to 0.
-      noise: optional (B, N) Exp(1) draws replacing the internal PRNG —
-        used by parity tests to share noise with the reference
-        implementation.
+      noise: optional (B, N) draws replacing the internal PRNG — used by
+        parity tests to share noise with the reference implementation.
+        Interpreted as Exp(1) gumbel noise normally, or as the N(0,1)
+        score draw when random_scores=True (ctemp is 0 there, so the
+        exponential perturbation is inert).
 
     Returns:
       promote: (B, N) bool — positions to move from target to context.
     """
     B, N = scores.shape
     if random_scores:
-        scores = jax.random.normal(rng, (B, N), dtype=jnp.float32)
+        if noise is not None:
+            scores, noise = noise, None
+        else:
+            scores = jax.random.normal(rng, (B, N), dtype=jnp.float32)
         context_temperature = jnp.zeros((), jnp.float32)
         rng = jax.random.fold_in(rng, 1)
 

@@ -41,7 +41,7 @@ class DecodeState:
     rng: jax.Array
 
     @classmethod
-    def create(cls, rng, B, N, codes=None, ctx_mask=None):
+    def create(cls, rng, B, N, codes=None, ctx_mask=None, chosen_prob=None):
         return cls(
             codes=(
                 jnp.zeros((B, N), jnp.int32) if codes is None else codes
@@ -49,7 +49,10 @@ class DecodeState:
             ctx_mask=(
                 jnp.zeros((B, N), bool) if ctx_mask is None else ctx_mask
             ),
-            chosen_prob=jnp.ones((B, N), jnp.float32),
+            chosen_prob=(
+                jnp.ones((B, N), jnp.float32)
+                if chosen_prob is None else chosen_prob
+            ),
             rng=rng,
         )
 
@@ -75,6 +78,7 @@ def _plan_arrays(plan: DecodePlan):
         "score_mode",
         "collect_history",
         "approx_top_k",
+        "with_noise",
     ),
 )
 def _maskgit_scan(
@@ -92,9 +96,14 @@ def _maskgit_scan(
     score_mode: str = "prob",
     collect_history: bool = False,
     approx_top_k: bool = False,
+    with_noise: bool = False,
 ) -> DecodeState:
     def step(state: DecodeState, xs):
-        do_step, n_new, _t, ctemp_scale = xs
+        if with_noise:
+            do_step, n_new, _t, ctemp_scale, s_noise, p_noise = xs
+        else:
+            do_step, n_new, _t, ctemp_scale = xs
+            s_noise = p_noise = None
 
         def run(state: DecodeState) -> DecodeState:
             tgt_mask = valid_mask & ~state.ctx_mask
@@ -109,6 +118,7 @@ def _maskgit_scan(
                 r_sample, logits, temperature, top_k, top_p,
                 need_probs=(score_mode == "entropy"),
                 approx_top_k=approx_top_k,
+                noise=s_noise,
             )
             if score_mode == "entropy":
                 # reference entp_sample (transformer.py:503-504):
@@ -143,6 +153,7 @@ def _maskgit_scan(
                 n_new,
                 ctemp,
                 random_scores=random_scores,
+                noise=p_noise,
             )
             return DecodeState(
                 codes=codes,
@@ -236,6 +247,12 @@ def _staged_confidence_scan(
                 method="stage_a",
             )
             rng, r_sample, r_promote = jax.random.split(state.rng, 3)
+            # NOTE: top_k decoding stays on the unfused
+            # stage_b_compact + sample_topk_tokens path — the
+            # extraction-based fused top-k kernel
+            # (ops/head_sample_pallas.py:fused_head_topk_sample) measured
+            # 1.2-1.5x SLOWER than unfused in a same-window A/B
+            # (PERFORMANCE.md "Tried and rejected")
             use_fused_head = (
                 top_k is None
                 and top_p is None
@@ -436,7 +453,14 @@ def _staged_sample(
     else:
         n_tgt = plan.n_targets_before(N)
         histories = []
-        for start, stop, bucket in plan_segments(plan, N):
+        segments = plan_segments(plan, N)
+        if collect_history and not segments:
+            empty = (
+                jnp.zeros((0,) + state.codes.shape, state.codes.dtype),
+                jnp.zeros((0,) + state.ctx_mask.shape, bool),
+            )
+            return state, empty
+        for start, stop, bucket in segments:
             xs = (
                 jnp.asarray(plan.do_step[start:stop]),
                 jnp.asarray(plan.n_new[start:stop]),
@@ -468,6 +492,7 @@ def maskgit_sample(
     *,
     codes: jax.Array | None = None,
     ctx_mask: jax.Array | None = None,
+    chosen_prob: jax.Array | None = None,
     valid_mask: jax.Array | None = None,
     temperature: float = 1.0,
     top_k: int | None = None,
@@ -477,6 +502,8 @@ def maskgit_sample(
     return_history: bool = False,
     approx_top_k: bool = False,
     staged: bool | str = "auto",
+    sample_noise: jax.Array | None = None,
+    promote_noise: jax.Array | None = None,
 ):
     """One MaskGIT/bootstrap/random decode pass (reference sample(),
     transformer.py:353-447). `return_history=True` additionally returns
@@ -488,25 +515,52 @@ def maskgit_sample(
     the mode list allows it (models/transformer.py:staged_split), the
     sequence has no out-of-window positions, and the strategy is
     bucketable; `staged=False` forces the dense full-canvas scan (used
-    by the equivalence tests)."""
+    by the equivalence tests).
+
+    `sample_noise` (S, B, N, V) / `promote_noise` (S, B, N) replace the
+    internal PRNG draws per plan step — test-only hooks that let the
+    pipeline parity suite share noise with the torch reference; they
+    force the dense scan."""
     from mebt_tpu.models.mebt import transformer_split
 
     N = model.config.seq_len
-    state = DecodeState.create(rng, B, N, codes, ctx_mask)
+    state = DecodeState.create(rng, B, N, codes, ctx_mask, chosen_prob)
     random_scores = strategy in ("random", "bootstrap")
     score_mode = {"entp": "entropy", "ar": "position"}.get(strategy, "prob")
 
+    with_noise = sample_noise is not None or promote_noise is not None
     use_staged = (
         staged in (True, "auto")
         and transformer_split(model.config) is not None
         and valid_mask is None
         and strategy != "ar"
+        and not with_noise
     )
     if staged is True and not use_staged:
         raise ValueError(
             "staged=True requires a stageable mode list, no valid_mask, "
             "and a non-'ar' strategy"
         )
+    if use_staged and not random_scores:
+        # the staged confidence scan derives per-step target counts from
+        # the PLAN; a ctx_mask whose context count disagrees with
+        # plan.n_ctx_init would silently truncate targets in
+        # compact_indices (the dense path derives counts from the live
+        # mask, so the failure mode would differ between paths). Checked
+        # host-side when the mask is concrete.
+        if ctx_mask is not None and not isinstance(ctx_mask, jax.core.Tracer):
+            n_ctx_rows = np.asarray(jnp.sum(ctx_mask, axis=-1))
+            if not np.all(n_ctx_rows == plan.n_ctx_init):
+                raise ValueError(
+                    f"ctx_mask context counts {np.unique(n_ctx_rows)} != "
+                    f"plan.n_ctx_init {plan.n_ctx_init}; build the plan "
+                    "with matching n_ctx_init or pass staged=False"
+                )
+        elif ctx_mask is None and plan.n_ctx_init != 0:
+            raise ValueError(
+                f"plan.n_ctx_init {plan.n_ctx_init} != 0 but no ctx_mask "
+                "was provided"
+            )
     if use_staged:
         return _staged_sample(
             model, params, state, plan,
@@ -522,12 +576,24 @@ def maskgit_sample(
 
     if valid_mask is None:
         valid_mask = jnp.ones((B, N), bool)
+    plan_arrays = _plan_arrays(plan)
+    if with_noise:
+        S = plan_arrays[0].shape[0]
+        if sample_noise is None:
+            V = model.config.vocab_size
+            sample_noise = jnp.ones((S, B, N, V), jnp.float32)
+        if promote_noise is None:
+            promote_noise = jnp.ones((S, B, N), jnp.float32)
+        plan_arrays = plan_arrays + (
+            jnp.asarray(sample_noise, jnp.float32),
+            jnp.asarray(promote_noise, jnp.float32),
+        )
     return _maskgit_scan(
         model,
         params,
         state,
         valid_mask,
-        _plan_arrays(plan),
+        plan_arrays,
         temperature=float(temperature),
         top_k=None if top_k is None else int(top_k),
         top_p=None if top_p is None else float(top_p),
@@ -536,6 +602,7 @@ def maskgit_sample(
         score_mode=score_mode,
         collect_history=bool(return_history),
         approx_top_k=bool(approx_top_k),
+        with_noise=with_noise,
     )
 
 
@@ -698,6 +765,24 @@ def _round_bucket(v: int, N: int, align: int = 128) -> int:
     return int(min(N, -(-int(v) // align) * align))
 
 
+def _gibbs_chunk_counts(n_tgt_rows: np.ndarray, n_chunks: int) -> np.ndarray:
+    """Per-row, per-chunk target counts under _random_chunk_ids'
+    assignment (ids = min(rank // max(n_tgt_row // n, 1), n - 1)): chunks
+    0..n-2 hold `chunk` targets (fewer near the tail when n_tgt_row < n)
+    and the LAST chunk absorbs the spill, which is non-monotonic in
+    n_tgt_row (79 targets / 8 chunks spills 16; 80 spills 10). Buckets
+    must therefore be sized from the max over ROWS of these counts, not
+    from the batch-max target count. Returns (B, n_chunks) int64."""
+    rows = np.asarray(n_tgt_rows, dtype=np.int64).reshape(-1, 1)
+    chunk = np.maximum(rows // n_chunks, 1)
+    i = np.arange(n_chunks).reshape(1, -1)
+    counts = np.clip(np.minimum(chunk, rows - i * chunk), 0, None)
+    counts[:, -1] = np.clip(
+        rows[:, 0] - (n_chunks - 1) * chunk[:, 0], 0, None
+    )
+    return counts
+
+
 def draft_and_revise(
     model,
     params,
@@ -734,9 +819,9 @@ def draft_and_revise(
         staged in (True, "auto")
         and transformer_split(model.config) is not None
     )
-    # chunk sizes are host-known: ids = min(rank // chunk, n-1), so
-    # chunks 0..n-2 hold `chunk` targets and the last takes the spill
-    n_tgt = int(np.max(np.asarray(jnp.sum(tgt_all, axis=-1))))
+    # per-ROW target counts are host-known; bucket sizing must use them
+    # (a heterogeneous ctx_mask makes chunk/spill sizes row-dependent)
+    n_tgt_rows = np.asarray(jnp.sum(tgt_all, axis=-1), dtype=np.int64)
 
     state = DecodeState.create(rng, B, N, codes, base_ctx)
     if not skip_draft:
@@ -744,8 +829,10 @@ def draft_and_revise(
         chunk_ids = _random_chunk_ids(rng_c, tgt_all, n_draft)
         state = state.replace(rng=rng_s)
         if use_staged:
-            chunk = max(n_tgt // n_draft, 1)
-            nt = np.array([n_tgt - i * chunk for i in range(n_draft)])
+            counts = _gibbs_chunk_counts(n_tgt_rows, n_draft)
+            # draft step i re-predicts chunks >= i: suffix-sum of counts
+            nt = counts[:, ::-1].cumsum(axis=1)[:, ::-1].max(axis=0)
+            nt = np.maximum(nt, 1)
             for s, e, b in segment_counts(nt, N):
                 state = _gibbs_scan_compact(
                     model, params, state, chunk_ids, base_ctx,
@@ -764,8 +851,8 @@ def draft_and_revise(
         chunk_ids = _random_chunk_ids(rng_c, tgt_all, n_revise)
         state = state.replace(rng=rng_s)
         if use_staged:
-            chunk = max(n_tgt // n_revise, 1)
-            bucket = _round_bucket(n_tgt - (n_revise - 1) * chunk, N)
+            counts = _gibbs_chunk_counts(n_tgt_rows, n_revise)
+            bucket = _round_bucket(max(1, int(counts.max())), N)
             state = _gibbs_scan_compact(
                 model, params, state, chunk_ids, base_ctx,
                 jnp.arange(n_revise),

@@ -41,9 +41,15 @@ def _decode_pixels_device(vqgan: VQGAN, codes_bthw: jax.Array) -> jax.Array:
     return jnp.round(pix * 255.0).astype(jnp.uint8)
 
 
-def _decode_pixels(vqgan: VQGAN, codes_bthw: jax.Array) -> np.ndarray:
+def _decode_pixels(vqgan: VQGAN | None, codes_bthw: jax.Array) -> np.ndarray:
     """VQGAN decode + clamp + uint8 quantize (reference sample
-    script:75-83 + :291). Returns (B, T, H, W, C) uint8."""
+    script:75-83 + :291). Returns (B, T, H, W, C) uint8. With no VQGAN
+    (codes-only generation, e.g. the vtokens path / parity tests) a
+    zero pixel stub of the right leading shape is returned."""
+    if vqgan is None:
+        B, T = codes_bthw.shape[:2]
+        dT = 4  # reference hardcodes temporal ratio 0.25 (script:30)
+        return np.zeros((B, T * dT, 1, 1, 3), np.uint8)
     pix = _decode_pixels_device(vqgan, codes_bthw)
     return np.moveaxis(np.asarray(pix), 1, -1)
 
@@ -68,8 +74,15 @@ def bidirect_generate(
     schedule: str = "cosine",
     bootstrap: int = 0,
     approx_top_k: bool = False,
+    _noise_hook=None,
 ) -> GenerationResult:
-    """MaskGIT generation with the sliding-window long-video loop."""
+    """MaskGIT generation with the sliding-window long-video loop.
+
+    `_noise_hook(call_idx, plan) -> dict(sample_noise=, promote_noise=)`
+    is a test-only seam: invoked once per internal maskgit_sample call
+    (bootstrap phase = call 0 when enabled, then the main window, then
+    each shift window) so the pipeline parity tests can share noise with
+    the torch reference."""
     T, h, w = model.config.latent_shape
     ratio = 1.0 / (vqgan.config.downsample[0] if vqgan else 4)
     step_lat = int(step_size * ratio)
@@ -83,14 +96,23 @@ def bidirect_generate(
     N = T * num_pos
     B = batch_size
 
+    n_call = 0
+
+    def noise_kw(plan):
+        nonlocal n_call
+        kw = {} if _noise_hook is None else _noise_hook(n_call, plan)
+        n_call += 1
+        return kw
+
     # first window
     state = None
     if bootstrap > 0:
         rng, r = jax.random.split(rng)
+        bplan = bootstrap_plan(N, bootstrap)
         state = maskgit_sample(
-            model, params, r, B, bootstrap_plan(N, bootstrap),
+            model, params, r, B, bplan,
             temperature=1.0, strategy="bootstrap",
-            context_temperature=vid_c_temp,
+            context_temperature=vid_c_temp, **noise_kw(bplan),
         )
     rng, r = jax.random.split(rng)
     plan = maskgit_plan(N, vid_n_steps, schedule, ctemp_schedule,
@@ -99,9 +121,14 @@ def bidirect_generate(
         model, params, r, B, plan,
         codes=None if state is None else state.codes,
         ctx_mask=None if state is None else state.ctx_mask,
+        # carry the bootstrap-phase sampling probabilities: positions
+        # promoted during bootstrap are never re-sampled in the main
+        # phase, and the reference's score merges their bootstrap probs
+        # (sample script:86-90, `final_partial_probs < 0` fallback)
+        chosen_prob=None if state is None else state.chosen_prob,
         temperature=temperature, top_k=top_k, top_p=top_p,
         context_temperature=vid_c_temp, strategy=strategy,
-        approx_top_k=approx_top_k,
+        approx_top_k=approx_top_k, **noise_kw(plan),
     )
     # per-sample score: sum log prob of each token at its final sampling
     # (reference sample script:85-91; first window only)
@@ -131,7 +158,7 @@ def bidirect_generate(
                 ctx_mask=ctx_mask,
                 temperature=temperature, top_k=top_k, top_p=top_p,
                 context_temperature=vid_c_temp, strategy=strategy,
-                approx_top_k=approx_top_k,
+                approx_top_k=approx_top_k, **noise_kw(shift_plan),
             )
             fresh = np.asarray(state.codes).reshape(B, T, h, w)[:, ctx_lat:]
             take = min(T - ctx_lat, total_lat - curr)
@@ -160,10 +187,12 @@ def extrapolate_generate(
     vid_c_temp: float = 4.5,
     ctemp_schedule: str = "linear",
     schedule: str = "cosine",
+    _noise_hook=None,
 ) -> GenerationResult:
     """Extend an existing codemap by repeated window shifts
     (reference extrapolate:95-157, the `edit=True` path: the schedule is
-    computed against the editable region only)."""
+    computed against the editable region only). `_noise_hook` as in
+    bidirect_generate (call_idx counts shift windows here)."""
     T, h, w = model.config.latent_shape
     ratio = 1.0 / (vqgan.config.downsample[0] if vqgan else 4)
     step_lat = int(step_size * ratio)
@@ -187,16 +216,17 @@ def extrapolate_generate(
 
     chunks = [np.asarray(vq_input, np.int64)]
     last = np.asarray(vq_input, np.int64)
-    for _ in range(n_jumps):
+    for j in range(n_jumps):
         window = np.zeros((B, T, h, w), np.int64)
         window[:, :ctx_lat] = last[:, -ctx_lat:]
         rng, r = jax.random.split(rng)
+        nkw = {} if _noise_hook is None else _noise_hook(j, plan)
         state = maskgit_sample(
             model, params, r, B, plan,
             codes=jnp.asarray(window.reshape(B, N), jnp.int32),
             ctx_mask=ctx_mask,
             temperature=temperature, top_k=top_k, top_p=top_p,
-            context_temperature=vid_c_temp,
+            context_temperature=vid_c_temp, **nkw,
         )
         last = np.asarray(state.codes).reshape(B, T, h, w)
         chunks.append(last[:, ctx_lat:].astype(np.int64))

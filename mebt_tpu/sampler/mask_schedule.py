@@ -274,6 +274,8 @@ class DecodePlan:
 
     def n_targets_before(self, N: int) -> np.ndarray:
         """(S,) int — remaining target count entering each step."""
+        if len(self.n_contexts) == 0:
+            return np.zeros(0, np.int64)
         n_ctx_before = np.concatenate(
             [[self.n_ctx_init], self.n_contexts[:-1]]
         )

@@ -1,0 +1,447 @@
+"""WHOLE-PIPELINE decode parity against the reference's own loops.
+
+Round-2 VERDICT item 1: per-module parity (GPT forward, schedules,
+promotion, codebook) is proven in test_reference_parity.py, but the
+*composition* — plan arithmetic x promotion x scatter x window shift x
+Gibbs chunking — could still drift. These tests drive the reference's
+actual decode drivers end-to-end:
+
+  * `bidirect_sample` (sample_vqgan_transformer_videos.py:22-93) incl.
+    the sliding-window shift loop and the bootstrap warm-up phase,
+  * `extrapolate` (:95-157, the edit=True schedule path),
+  * `draft_and_revise` (mebt/transformer.py:632-663) draft + revise and
+    the production revise-only recipe,
+
+with SHARED WEIGHTS (a tiny reference Net2NetTransformer whose state
+dict flows through the production importer) and SHARED NOISE (a
+NoiseBroker pre-generates dense per-step Exp(1)/N(0,1) draws; the torch
+side consumes them via patched `torch.empty_like/randn_like/randperm`,
+the JAX side via the maskgit_sample sample_noise/promote_noise hooks),
+asserting IDENTICAL code maps.
+
+Training-objective parity (VERDICT item 5) lives in
+test_training_parity.py.
+"""
+
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from tests._reference import (  # noqa: E402
+    load_reference_script,
+    make_reference_net2net,
+)
+
+B = 2
+SHAPE = (3, 4, 4)  # latent (T, H, W) -> N = 48
+N = int(np.prod(SHAPE))
+MODES = ["latent_enc", "latent_self", "latent_enc",
+         "latent_dec", "lt2l", "latent_dec"]
+ARCH = dict(n_layer=len(MODES), n_head=2, n_embd=32, sos_emb=8,
+            mode=MODES, shape=SHAPE, block_size=N)
+
+
+def _build_pair(vocab_size: int, seed: int = 0):
+    """(reference model, our MeBT, imported params)."""
+    from mebt_tpu.models.mebt import MeBT, MeBTConfig
+    from mebt_tpu.utils.torch_ckpt import import_mebt_params
+
+    ref = make_reference_net2net(vocab_size=vocab_size, seed=seed, **ARCH)
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    cfg = MeBTConfig(
+        vocab_size=vocab_size, block_size=N, n_layer=ARCH["n_layer"],
+        n_head=ARCH["n_head"], n_embd=ARCH["n_embd"],
+        sos_emb=ARCH["sos_emb"], mode=tuple(MODES), latent_shape=SHAPE,
+    )
+    params = jax.tree.map(jnp.asarray, import_mebt_params(sd, cfg))
+    return ref, MeBT(cfg), params
+
+
+# -----------------------------------------------------------------------------
+# Shared-noise machinery
+
+
+class NoiseBroker:
+    """Deterministic per-(call, step) dense noise shared by both sides.
+
+    Call indices follow the JAX drivers' maskgit_sample order (bootstrap
+    phase first when enabled, then main window, then shift windows); the
+    torch side advances the same counters through wrapped model.sample /
+    reconstruct_mask calls.
+    """
+
+    def __init__(self, seed: int, V: int):
+        self.seed = seed
+        self.V = V
+        self._cache = {}
+
+    def arrays(self, call_idx: int, S: int):
+        key = (call_idx, S)
+        if key not in self._cache:
+            rng = np.random.default_rng([self.seed, call_idx])
+            self._cache[key] = dict(
+                sample=rng.exponential(size=(S, B, N, self.V)).astype(
+                    np.float32
+                ),
+                promote=rng.exponential(size=(S, B, N)).astype(np.float32),
+                normal=rng.standard_normal(size=(S, B, N)).astype(
+                    np.float32
+                ),
+            )
+        return self._cache[key]
+
+    def jax_hook(self, bootstrap_calls=()):
+        """_noise_hook for bidirect_generate / extrapolate_generate."""
+
+        def hook(call_idx, plan):
+            S = len(plan.do_step)
+            arr = self.arrays(call_idx, S)
+            promote = (
+                arr["normal"] if call_idx in bootstrap_calls
+                else arr["promote"]
+            )
+            return dict(
+                sample_noise=jnp.asarray(arr["sample"]),
+                promote_noise=jnp.asarray(promote),
+            )
+
+        return hook
+
+
+class RefNoiseDriver:
+    """Feeds broker noise to the reference loops by instrumenting the
+    model instance (sample/reconstruct_mask wrappers maintain call/step
+    counters + live target indices) and patching torch.empty_like /
+    torch.randn_like to gather from the dense arrays at those targets."""
+
+    def __init__(self, broker: NoiseBroker, model, plans):
+        self.broker = broker
+        self.model = model
+        self.plans = plans  # plan per expected model.sample call
+        self.call = -1
+        self.ptr = 0
+        self.step = 0
+        self.tgt = None
+
+        orig_sample = model.sample
+        orig_rm = model.reconstruct_mask
+
+        def sample_wrap(*a, **kw):
+            self.call += 1
+            self.ptr = 0
+            return orig_sample(*a, **kw)
+
+        def rm_wrap(x, ci, ti, debug=False):
+            plan = self.plans[self.call]
+            while not plan.do_step[self.ptr]:
+                self.ptr += 1
+            self.step = self.ptr
+            self.ptr += 1
+            self.tgt = ti.detach().clone()
+            return orig_rm(x, ci, ti, debug)
+
+        model.sample = sample_wrap
+        model.reconstruct_mask = rm_wrap
+
+    def _gather2(self, dense_sbn):
+        d = dense_sbn[self.step]  # (B, N)
+        idx = self.tgt.numpy()
+        return torch.from_numpy(np.take_along_axis(d, idx, axis=1))
+
+    def install(self, monkeypatch):
+        drv = self
+
+        def empty_like(x):
+            arr = drv.broker.arrays(
+                drv.call, len(drv.plans[drv.call].do_step)
+            )
+            if x.dim() == 3:  # (B, NT, V) sampling noise
+                d = arr["sample"][drv.step]  # (B, N, V)
+                idx = drv.tgt.numpy()
+                out = d[np.arange(idx.shape[0])[:, None], idx]
+                t = torch.from_numpy(out)
+            else:  # (B, NT) promotion noise
+                t = drv._gather2(arr["promote"])
+            return types.SimpleNamespace(exponential_=lambda: t)
+
+        def randn_like(x):
+            arr = drv.broker.arrays(
+                drv.call, len(drv.plans[drv.call].do_step)
+            )
+            return drv._gather2(arr["normal"])
+
+        monkeypatch.setattr(torch, "empty_like", empty_like)
+        monkeypatch.setattr(torch, "randn_like", randn_like)
+
+
+def _fake_first_stage(model):
+    """bidirect_sample/extrapolate end with first_stage_model.decode;
+    attach a pixel stub (code maps are what parity compares). The stub
+    also RECORDS the code map passed in: the reference's score gather
+    (sample script:89) crashes whenever total_length > step_size — it
+    indexes the full concatenated map into the first-window-only prob
+    map — an upstream bug its single-window recipes never hit; the
+    recorded map lets code parity still be checked for shift runs."""
+    rec = {}
+
+    def decode(cm):
+        rec["code_map"] = cm.detach().clone()
+        return torch.zeros(cm.shape[0], 3, cm.shape[1] * 4, 4, 4)
+
+    model.first_stage_model = types.SimpleNamespace(decode=decode)
+    return rec
+
+
+# -----------------------------------------------------------------------------
+# bidirect_sample (the reference's debug path hardcodes a 16384-wide
+# prob map, transformer.py:396 — so these run at the real vocab width)
+
+
+def _run_bidirect_pair(
+    monkeypatch, *, temperature, top_k, bootstrap, total_length,
+    vid_n_steps=5, vid_c_temp=8.0, seed=11,
+):
+    from mebt_tpu.sampler.generation import bidirect_generate
+    from mebt_tpu.sampler.mask_schedule import bootstrap_plan, maskgit_plan
+
+    V = 16384
+    ref, model, params = _build_pair(V, seed=3)
+    rec = _fake_first_stage(ref)
+    script = load_reference_script("sample_vqgan_transformer_videos.py")
+
+    step_size, context_size = 12, 4  # pixel frames -> 3 / 1 latent
+    num_pos = SHAPE[1] * SHAPE[2]
+
+    plans = []
+    if bootstrap:
+        plans.append(bootstrap_plan(N, bootstrap))
+    plans.append(
+        maskgit_plan(N, vid_n_steps, "cosine", "linear",
+                     n_ctx_init=bootstrap)
+    )
+    n_shift = 0
+    total_lat, step_lat, ctx_lat = (
+        total_length // 4, step_size // 4, context_size // 4
+    )
+    t = step_lat
+    while t < total_lat:
+        t += step_lat - ctx_lat
+        n_shift += 1
+    shift_plan = maskgit_plan(
+        N, vid_n_steps, "cosine", "linear", n_ctx_init=ctx_lat * num_pos
+    )
+    plans.extend([shift_plan] * n_shift)
+
+    broker = NoiseBroker(seed, V)
+    drv = RefNoiseDriver(broker, ref, plans)
+    drv.install(monkeypatch)
+    with torch.no_grad():
+        try:
+            log = script.bidirect_sample(
+                ref, B, total_length, step_size, context_size,
+                temperature=temperature, top_k=top_k, top_p=None,
+                vid_n_steps=vid_n_steps, vid_c_temp=vid_c_temp,
+                ctemp_schedule="linear", strategy="maskgit",
+                bootstrap=bootstrap,
+            )
+            want_codes = log["code_maps"].numpy()
+            want_score = log["score"].numpy()
+        except RuntimeError:
+            # the reference's own score gather crashes on shift runs
+            # (see _fake_first_stage); the decode() capture holds the
+            # fully-assembled code map
+            assert total_length > step_size
+            want_codes = rec["code_map"].numpy()
+            want_score = None
+
+    out = bidirect_generate(
+        model, params, None, jax.random.PRNGKey(0), B,
+        total_length=total_length, step_size=step_size,
+        context_size=context_size, temperature=temperature, top_k=top_k,
+        vid_n_steps=vid_n_steps, vid_c_temp=vid_c_temp,
+        ctemp_schedule="linear", strategy="maskgit", schedule="cosine",
+        bootstrap=bootstrap,
+        _noise_hook=broker.jax_hook(
+            bootstrap_calls=(0,) if bootstrap else ()
+        ),
+    )
+    return want_codes, want_score, out
+
+
+def test_bidirect_window_shift_parity_greedy(monkeypatch):
+    """Greedy sampling (temperature -> 0) + shared promotion noise,
+    across a 3-window sliding decode with skip steps in the shift
+    windows: identical code maps and log-prob scores."""
+    want_codes, want_score, out = _run_bidirect_pair(
+        monkeypatch, temperature=0.0, top_k=None, bootstrap=0,
+        total_length=28,  # 7 latent frames = first(3) + 2 shifts of 2
+    )
+    assert out.code_maps.shape == want_codes.shape
+    np.testing.assert_array_equal(out.code_maps, want_codes)
+
+
+def test_bidirect_parity_stochastic_topk(monkeypatch):
+    """Full stochastic run (temperature 1.0, top_k=32) with shared
+    sampling AND promotion noise: identical sampled codes through the
+    window-shift loop."""
+    want_codes, want_score, out = _run_bidirect_pair(
+        monkeypatch, temperature=1.0, top_k=32, bootstrap=0,
+        total_length=20,  # first(3) + 1 shift of 2 latent frames
+        seed=12,
+    )
+    np.testing.assert_array_equal(out.code_maps, want_codes)
+    # score unavailable from the reference on shift runs (upstream bug,
+    # see _fake_first_stage); pinned by the single-window tests instead
+    assert want_score is None
+
+
+def test_bidirect_parity_bootstrap(monkeypatch):
+    """Bootstrap warm-up (random-order unmasking, shared N(0,1) scores
+    and sampling noise) then a confidence decode: identical codes."""
+    want_codes, want_score, out = _run_bidirect_pair(
+        monkeypatch, temperature=1.0, top_k=None, bootstrap=6,
+        total_length=12,  # single window
+        seed=13,
+    )
+    np.testing.assert_array_equal(out.code_maps, want_codes)
+    np.testing.assert_allclose(out.score, want_score, rtol=1e-3, atol=1e-3)
+
+
+# -----------------------------------------------------------------------------
+# extrapolate (edit=True: schedule computed against the editable region)
+
+
+def test_extrapolate_parity_greedy(monkeypatch):
+    from mebt_tpu.sampler.generation import extrapolate_generate
+    from mebt_tpu.sampler.mask_schedule import maskgit_plan
+
+    V = 64
+    ref, model, params = _build_pair(V, seed=5)
+    _fake_first_stage(ref)
+    script = load_reference_script("sample_vqgan_transformer_videos.py")
+
+    step_size, context_size, total_length = 12, 4, 28
+    num_pos = SHAPE[1] * SHAPE[2]
+    ctx_lat = context_size // 4
+    edit_N = (SHAPE[0] - ctx_lat) * num_pos
+    plan = maskgit_plan(
+        N, 5, "cosine", "linear", n_ctx_init=ctx_lat * num_pos,
+        edit_N=edit_N,
+    )
+    n_jumps = int(np.ceil((total_length // 4 - SHAPE[0]) / (SHAPE[0] - ctx_lat)))
+    plans = [plan] * n_jumps
+
+    rng = np.random.default_rng(50)
+    seed_codes = rng.integers(0, V, size=(B, SHAPE[0], 4, 4))
+
+    broker = NoiseBroker(51, V)
+    drv = RefNoiseDriver(broker, ref, plans)
+    drv.install(monkeypatch)
+    with torch.no_grad():
+        log = script.extrapolate(
+            ref, torch.from_numpy(seed_codes).long(), total_length,
+            step_size, context_size, temperature=0.0, top_k=None,
+            top_p=None, vid_n_steps=5, vid_c_temp=8.0,
+            ctemp_schedule="linear",
+        )
+    want_codes = log["code_maps"].numpy()
+
+    out = extrapolate_generate(
+        model, params, None, jax.random.PRNGKey(0), seed_codes,
+        total_length=total_length, step_size=step_size,
+        context_size=context_size, temperature=0.0, vid_n_steps=5,
+        vid_c_temp=8.0, ctemp_schedule="linear", schedule="cosine",
+        _noise_hook=broker.jax_hook(),
+    )
+    assert out.code_maps.shape == want_codes.shape
+    np.testing.assert_array_equal(out.code_maps, want_codes)
+
+
+# -----------------------------------------------------------------------------
+# draft_and_revise (Gibbs refinement)
+
+
+class PermBroker:
+    """Shared per-sweep chunk permutations. torch side: randperm patch
+    consumes one row per call (B calls per create_gibbs_* invocation);
+    jax side: _random_chunk_ids patch converts the same permutation into
+    chunk-id maps (position p -> which chunk re-predicts it)."""
+
+    def __init__(self, seed):
+        self.rng = np.random.default_rng(seed)
+        self.sweeps = []  # list of (B, N) permutations
+        self.t_i = 0  # torch-side flat row counter
+        self.j_i = 0  # jax-side sweep counter
+
+    def _sweep(self, i):
+        while len(self.sweeps) <= i:
+            self.sweeps.append(
+                np.stack([self.rng.permutation(N) for _ in range(B)])
+            )
+        return self.sweeps[i]
+
+    def torch_randperm(self, n, **kw):
+        assert n == N
+        sweep = self._sweep(self.t_i // B)
+        row = sweep[self.t_i % B]
+        self.t_i += 1
+        return torch.from_numpy(row.copy())
+
+    def jax_chunk_ids(self, rng, tgt_mask, n_chunks):
+        # replicate the reference chunking: permute the (position-order)
+        # target list, chunk contiguously. With a full-canvas target set
+        # target_indices = arange(N), so the permutation rows ARE the
+        # position lists per chunk.
+        sweep = self._sweep(self.j_i)
+        self.j_i += 1
+        Bm, Nm = tgt_mask.shape
+        ids = np.full((Bm, Nm), -1, np.int64)
+        chunk = max(Nm // n_chunks, 1)
+        for b in range(Bm):
+            for i in range(n_chunks):
+                lo = i * chunk
+                hi = Nm if i == n_chunks - 1 else (i + 1) * chunk
+                ids[b, sweep[b][lo:hi]] = i
+        return jnp.asarray(ids)
+
+
+@pytest.mark.parametrize("skip_draft", [False, True])
+def test_draft_and_revise_parity_greedy(monkeypatch, skip_draft):
+    """Greedy draft + M revise sweeps with shared chunk permutations:
+    identical final codes (noise-free at temperature -> 0; chunk
+    partitions are the only stochastic input). skip_draft=True is the
+    production revise-only recipe (scripts/valid_dnr_*.sh)."""
+    import mebt_tpu.sampler.decode as decode_mod
+    from mebt_tpu.sampler.decode import draft_and_revise
+
+    V = 64
+    ref, model, params = _build_pair(V, seed=7)
+
+    rng = np.random.default_rng(60)
+    x0 = rng.integers(0, V, size=(B, N))
+
+    broker = PermBroker(61)
+    monkeypatch.setattr(torch, "randperm", broker.torch_randperm)
+    with torch.no_grad():
+        want = ref.draft_and_revise(
+            torch.from_numpy(x0).long(), None,
+            n_draft=4, draft_t=0.0, n_revise=6, revise_t=0.0, M=2,
+            skip_draft=skip_draft,
+        ).numpy()
+
+    monkeypatch.setattr(
+        decode_mod, "_random_chunk_ids", broker.jax_chunk_ids
+    )
+    got = np.asarray(draft_and_revise(
+        model, params, jax.random.PRNGKey(0),
+        jnp.asarray(x0, jnp.int32),
+        n_draft=4, draft_t=0.0, n_revise=6, revise_t=0.0, M=2,
+        skip_draft=skip_draft,
+    ))
+    np.testing.assert_array_equal(got, want)

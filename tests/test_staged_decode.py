@@ -246,6 +246,115 @@ def test_staged_gibbs_respects_fixed_context(small_model):
     )
 
 
+def test_staged_gibbs_small_target_count(small_model):
+    """n_tgt < n_revise used to compute a ZERO revise bucket
+    (n_tgt - (n-1)*1 < 0 rounded to 0), silently skipping every update;
+    the bucket must clamp to >= 1 and match the dense scan."""
+    from mebt_tpu.sampler.decode import draft_and_revise
+
+    model, params = small_model
+    N = model.config.seq_len
+    B = 2
+    codes0 = jax.random.randint(
+        jax.random.PRNGKey(41), (B, N), 0, model.config.vocab_size
+    )
+    ctx = np.ones((B, N), bool)
+    ctx[:, -5:] = False  # 5 targets, n_revise=8 > 5
+    rng = jax.random.PRNGKey(42)
+    kw = dict(
+        ctx_mask=jnp.asarray(ctx), n_revise=8, revise_t=0.0, M=1,
+        skip_draft=True,
+    )
+    dense = draft_and_revise(model, params, rng, codes0, staged=False, **kw)
+    stg = draft_and_revise(model, params, rng, codes0, staged=True, **kw)
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(stg))
+
+
+def test_staged_gibbs_heterogeneous_rows(small_model):
+    """Per-row context counts differ -> per-row chunk/spill sizes differ;
+    buckets must cover the max over ROWS (ADVICE r2 medium)."""
+    from mebt_tpu.sampler.decode import draft_and_revise
+
+    model, params = small_model
+    N = model.config.seq_len  # 48
+    B = 2
+    codes0 = jax.random.randint(
+        jax.random.PRNGKey(43), (B, N), 0, model.config.vocab_size
+    )
+    ctx = np.zeros((B, N), bool)
+    ctx[0, :37] = True  # row 0: 11 targets
+    ctx[1, :5] = True   # row 1: 43 targets
+    rng = jax.random.PRNGKey(44)
+    for skip_draft in (False, True):
+        kw = dict(
+            ctx_mask=jnp.asarray(ctx), n_draft=4, draft_t=0.0,
+            n_revise=6, revise_t=0.0, M=2, skip_draft=skip_draft,
+        )
+        dense = draft_and_revise(
+            model, params, rng, codes0, staged=False, **kw
+        )
+        stg = draft_and_revise(model, params, rng, codes0, staged=True, **kw)
+        np.testing.assert_array_equal(np.asarray(dense), np.asarray(stg))
+
+
+def test_gibbs_chunk_counts_match_assignment():
+    """_gibbs_chunk_counts must agree with the live chunk assignment of
+    _random_chunk_ids for heterogeneous rows, including the
+    non-monotonic spill (79 tgts/8 chunks spills 16; 80 spills 10)."""
+    from mebt_tpu.sampler.decode import _gibbs_chunk_counts, _random_chunk_ids
+
+    n_chunks = 8
+    n_tgts = [79, 80, 3, 0, 200]
+    N = 256
+    mask = np.zeros((len(n_tgts), N), bool)
+    for b, nt in enumerate(n_tgts):
+        mask[b, :nt] = True
+    ids = np.asarray(
+        _random_chunk_ids(jax.random.PRNGKey(1), jnp.asarray(mask), n_chunks)
+    )
+    counts = _gibbs_chunk_counts(np.asarray(n_tgts), n_chunks)
+    for b in range(len(n_tgts)):
+        live = np.bincount(ids[b][ids[b] >= 0], minlength=n_chunks)
+        np.testing.assert_array_equal(live, counts[b])
+    assert counts[0, -1] == 16 and counts[1, -1] == 10
+
+
+def test_zero_step_plan_history(small_model):
+    """A zero-step plan must return an empty history instead of raising
+    in the tree_map concatenate (ADVICE r2 low)."""
+    model, params = small_model
+    N = model.config.seq_len
+    plan = maskgit_plan(N, 0, "cosine")
+    assert plan.do_step.shape == (0,)
+    state, hist = maskgit_sample(
+        model, params, jax.random.PRNGKey(51), 2, plan,
+        return_history=True, staged=True,
+    )
+    assert hist[0].shape[0] == 0 and hist[1].shape[0] == 0
+    assert np.asarray(state.ctx_mask).sum() == 0
+
+
+def test_staged_plan_mask_mismatch_raises(small_model):
+    """A ctx_mask whose context count disagrees with plan.n_ctx_init
+    must raise instead of silently truncating targets (ADVICE r2 low)."""
+    model, params = small_model
+    N = model.config.seq_len
+    B = 2
+    plan = maskgit_plan(N, 4, "cosine", n_ctx_init=8)
+    ctx = np.zeros((B, N), bool)
+    ctx[:, :5] = True  # 5 != plan's 8
+    with pytest.raises(ValueError, match="n_ctx_init"):
+        maskgit_sample(
+            model, params, jax.random.PRNGKey(52), B, plan,
+            codes=jnp.zeros((B, N), jnp.int32), ctx_mask=jnp.asarray(ctx),
+            staged=True,
+        )
+    with pytest.raises(ValueError, match="n_ctx_init"):
+        maskgit_sample(
+            model, params, jax.random.PRNGKey(53), B, plan, staged=True
+        )
+
+
 def test_plan_segments_cover_and_bound():
     plan = maskgit_plan(8192, 32, "cosine", n_ctx_init=64)
     segs = plan_segments(plan, 8192, max_segments=4, align=128)
