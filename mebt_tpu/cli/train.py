@@ -120,3 +120,12 @@ def _downsample_from_shapes(config, mask_shape):
 
 if __name__ == "__main__":
     main()
+    # skip interpreter-shutdown GC: experimental PJRT plugins (the axon
+    # tunnel) can deadlock tearing down device buffers after a restored
+    # run — all work (checkpoints, metrics) is flushed by this point
+    import os as _os
+    import sys as _sys
+
+    _sys.stdout.flush()
+    _sys.stderr.flush()
+    _os._exit(0)

@@ -81,13 +81,22 @@ class MeBTTrainer:
 
         exp = config.get("exp", {})
         self.max_steps = int(exp.get("max_steps", 2_000_000))
+        # Optimizer-step accounting: with accumulate_grad_batches=k the
+        # reference's `global_step` (Lightning counts OPTIMIZER steps,
+        # train_transformer.py:47-49) advances once per k micro-batches.
+        # TrainState.step counts micro-steps (it must, for data-order
+        # resume); every reference-visible cadence — curriculum t_prior,
+        # logged LR, ckpt/val/vis/profile triggers, max_steps — divides
+        # by k via `_gstep`. optax.MultiSteps' inner schedule already
+        # sees optimizer steps, so the APPLIED LR needs no correction.
+        self.accum_k = max(1, int(exp.get("accumulate_grad_batches", 1)))
         self.tx = make_optimizer(
             exact_lr=float(exp["exact_lr"]),
             warmup_steps=int(exp.get("warmup_steps", 0)),
             weight_decay=float(exp.get("weight_decay", 0.01)),
             cosine_lr=bool(exp.get("cosine_lr", False)),
             max_steps=self.max_steps,
-            accumulate_grad_batches=int(exp.get("accumulate_grad_batches", 1)),
+            accumulate_grad_batches=self.accum_k,
         )
         from mebt_tpu.train.train_state import lr_schedule
 
@@ -109,7 +118,16 @@ class MeBTTrainer:
         self.profile_n_steps = int(exp.get("profile_n_steps", 5))
         self.seed = seed
         self.rng = np.random.default_rng(seed)
-        self.logger = MetricsLogger(logdir)
+        # rank-zero logging (the reference's Lightning rank_zero_only
+        # writers); every process draws the same host RNG sequence so
+        # curriculum t/window stay batch-global under multi-process DP
+        from mebt_tpu.utils.metrics import NullLogger
+
+        self.logger = (
+            MetricsLogger(logdir)
+            if jax.process_index() == 0
+            else NullLogger()
+        )
         self._ckpt_every = int(exp.get("ckpt_every", 50_000))
         self._mgr = None
 
@@ -168,6 +186,13 @@ class MeBTTrainer:
             out_shardings=(self._state_shardings, None),
             donate_argnums=donation_argnums((0,)),
         )
+        if jax.process_count() > 1:
+            # device_put rejects non-addressable shardings; the state is
+            # identical on every process (same seed / same restore), so
+            # a jit identity installs the global (replicated) sharding
+            return jax.jit(
+                lambda s: s, out_shardings=self._state_shardings
+            )(state)
         return jax.device_put(state, self._state_shardings)
 
     # -- curriculum -----------------------------------------------------------
@@ -229,6 +254,9 @@ class MeBTTrainer:
     def save(self, state: TrainState) -> None:
         import orbax.checkpoint as ocp
 
+        # collective: under jax.process_count() > 1 orbax synchronizes
+        # processes around the write (primary host persists, the rest
+        # participate in the barrier) — every process must call this
         mgr = self._manager()
         mgr.save(
             int(state.step), args=ocp.args.StandardSave(_host_state(state))
@@ -247,7 +275,12 @@ class MeBTTrainer:
         restored = mgr.restore(
             latest, args=ocp.args.StandardRestore(_host_state(state))
         )
-        return jax.tree.map(jnp.asarray, restored)
+        rng = jax.random.wrap_key_data(
+            jnp.asarray(restored.rng), impl=jax.random.key_impl(state.rng)
+        )
+        return jax.tree.map(jnp.asarray, restored.replace(rng=state.rng)).replace(
+            rng=rng
+        )
 
     # -- loops ----------------------------------------------------------------
 
@@ -261,22 +294,42 @@ class MeBTTrainer:
         val_every: int = 0,
         val_batches: int = 8,
     ) -> TrainState:
-        max_steps = max_steps or self.max_steps
+        max_steps = (max_steps or self.max_steps) * self.accum_k
         if state is None:
             state = self.init_state()
             state = self.try_restore(state)
         state = self._shard(state)
 
         step = int(jax.device_get(state.step))
-        epoch = 0
+        # resume-faithful data order: a restored run re-enters the epoch
+        # it left off in instead of replaying the epoch-0 shuffle (the
+        # reference restores the Lightning loop state)
+        try:
+            steps_per_epoch = len(train_loader)
+        except TypeError:
+            steps_per_epoch = 0
+        epoch = step // steps_per_epoch if steps_per_epoch else 0
         t_last = time.time()
 
         n_data = self.mesh.shape["data"]
 
+        k = self.accum_k
+
         def put(batch, s):
             """Host mask construction + async device transfer, so the
-            upload of batch s overlaps the compute of batch s-1."""
-            db = self.prepare_batch(batch, s)
+            upload of batch s overlaps the compute of batch s-1. The
+            curriculum sees OPTIMIZER steps (reference global_step)."""
+            db = self.prepare_batch(batch, s // k)
+            if jax.process_count() > 1:
+                # multi-process DP: each process holds only its loader
+                # shard; assemble global arrays from the local rows
+                # (the SPMD analogue of DistributedSampler + DDP)
+                return {
+                    key: jax.make_array_from_process_local_data(
+                        self._batch_shardings[key], np.asarray(v)
+                    )
+                    for key, v in db.items()
+                }
             bdim = db["ctx_mask"].shape[0]
             if bdim % n_data:
                 # batch not divisible by the data axis (tiny tests):
@@ -297,7 +350,7 @@ class MeBTTrainer:
                     except StopIteration:
                         break
                 dev_batch = next_dev
-                if self.profile_step and step == self.profile_step:
+                if self.profile_step and step == self.profile_step * k:
                     jax.profiler.start_trace(
                         os.path.join(self.logdir, "profile")
                     )
@@ -310,26 +363,30 @@ class MeBTTrainer:
                 step += 1
                 if (
                     self.profile_step
-                    and step == self.profile_step + self.profile_n_steps
+                    and step == (self.profile_step + self.profile_n_steps) * k
                 ):
                     jax.tree.leaves(metrics)[0].block_until_ready()
                     jax.profiler.stop_trace()
-                if step % log_every == 0:
+                if step % (log_every * k) == 0:
                     m = {
-                        f"train/{k}": float(v)
-                        for k, v in jax.device_get(metrics).items()
+                        f"train/{key}": float(v)
+                        for key, v in jax.device_get(metrics).items()
                     }
                     now = time.time()
                     m["train/steps_per_sec"] = log_every / (now - t_last)
-                    m["learning_rate"] = float(self._lr_fn(step))
+                    m["learning_rate"] = float(self._lr_fn(step // k))
                     t_last = now
-                    self.logger.log(step, m)
-                if self._ckpt_every and step % self._ckpt_every == 0:
+                    self.logger.log(step // k, m)
+                if self._ckpt_every and step % (self._ckpt_every * k) == 0:
                     self.save(state)
-                if val_every and val_loader is not None and step % val_every == 0:
-                    self.validate(state, val_loader, step, val_batches)
-                if self.vis_every and step % self.vis_every == 0:
-                    self.log_samples(state, step)
+                if (
+                    val_every
+                    and val_loader is not None
+                    and step % (val_every * k) == 0
+                ):
+                    self.validate(state, val_loader, step // k, val_batches)
+                if self.vis_every and step % (self.vis_every * k) == 0:
+                    self.log_samples(state, step // k)
             epoch += 1
         self.save(state)
         return state
@@ -446,4 +503,7 @@ class MeBTTrainer:
 
 
 def _host_state(state: TrainState):
-    return jax.device_get(state)
+    """device_get + unwrap the PRNG key to its uint32 data (typed key
+    arrays are not serializable by orbax in multi-process settings)."""
+    host = jax.device_get(state.replace(rng=jax.random.key_data(state.rng)))
+    return host

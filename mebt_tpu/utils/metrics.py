@@ -52,3 +52,14 @@ class MetricsLogger:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+
+
+class NullLogger:
+    """Rank>0 stand-in: multi-process runs write metrics/media from
+    process 0 only (the reference's Lightning rank_zero logging)."""
+
+    def log(self, step, metrics) -> None:
+        pass
+
+    def log_video(self, step, tag, video_uint8) -> None:
+        pass
