@@ -23,7 +23,12 @@ with per-step host schedule math + sparse-COO scatters, plus the
 scripts/time_reference.py on a CUDA machine before quoting ratios.
 
 Prints one JSON line per metric; the LAST line is the north-star 128f
-metric.
+metric. Each line also carries: `baseline_estimated` (vs_baseline's
+denominator is an estimate until scripts/time_reference.py runs on
+CUDA), `chip_probe_tflops_bf16` (fixed-cost matmul probe in the same
+window — the tunnel chip throttles over time, so ratios against the
+probe are comparable across rounds when absolutes are not), and
+per-phase wall timings (`phases`).
 """
 
 from __future__ import annotations
@@ -41,6 +46,31 @@ import numpy as np
 
 BASELINE_16F_VIDEOS_PER_SEC = 3.0  # estimated reference A100 throughput
 BASELINE_128F_VIDEOS_PER_SEC = 0.1  # estimated reference A100 throughput
+
+
+def chip_probe():
+    """Fixed-cost matmul probe: the tunnel chip throttles/shares over
+    time (PERFORMANCE.md "Measurement pitfalls"), so every BENCH line
+    carries the chip's measured bf16 TFLOP/s in the same window —
+    cross-round deltas can then separate throttle from regression."""
+    x = jax.random.normal(jax.random.key(0), (4096, 4096), jnp.bfloat16)
+
+    @jax.jit
+    def probe_fn(x):
+        def body(y, _):
+            return (y @ x) * (1.0 / 64.0), None
+
+        y, _ = jax.lax.scan(body, x, None, length=16)
+        return jnp.sum(y.astype(jnp.float32))
+
+    np.asarray(probe_fn(x))  # compile + warm
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        np.asarray(probe_fn(x))
+    dt = (time.perf_counter() - t0) / reps
+    flops = 16 * 2 * 4096**3
+    return round(flops / dt / 1e12, 1)
 
 
 def _random_params(model, cfg):
@@ -136,16 +166,23 @@ def bench_16f():
         ).astype(jnp.uint8)
     )
 
-    def generate(rng):
+    def sample_codes(rng):
         state = maskgit_sample(
             model, params, rng, B, plan,
             temperature=1.0, context_temperature=8.0,
         )
-        codes = state.codes.reshape(B, *model.config.latent_shape)
+        return state.codes
+
+    def generate(rng):
+        codes = sample_codes(rng).reshape(B, *model.config.latent_shape)
         return decode_pixels(codes)
 
     dt = _timed(generate, runs=5)
-    return B / dt
+    phases = {
+        "sample_ms": round(_timed(sample_codes, runs=3) * 1e3, 1),
+    }
+    phases["decode_ms"] = round(max(0.0, dt - phases["sample_ms"] / 1e3) * 1e3, 1)
+    return B / dt, phases
 
 
 def bench_128f():
@@ -169,26 +206,42 @@ def bench_128f():
         ).astype(jnp.uint8)
     )
 
-    def generate(rng):
-        r1, r2 = jax.random.split(rng)
+    def bootstrap_codes(rng):
         state = maskgit_sample(
-            model, params, r1, B, bplan,
+            model, params, rng, B, bplan,
             temperature=1.0, strategy="bootstrap", context_temperature=4.0,
         )
+        return state.codes, state.ctx_mask
+
+    def confidence_codes(rng, codes, ctx_mask):
         state = maskgit_sample(
-            model, params, r2, B, mplan,
-            codes=state.codes, ctx_mask=state.ctx_mask,
+            model, params, rng, B, mplan,
+            codes=codes, ctx_mask=ctx_mask,
             temperature=1.0, top_k=32, context_temperature=4.0,
         )
-        codes = state.codes.reshape(B, *model.config.latent_shape)
-        return decode_pixels(codes)
+        return state.codes
+
+    def generate(rng):
+        r1, r2 = jax.random.split(rng)
+        codes, ctx = bootstrap_codes(r1)
+        codes = confidence_codes(r2, codes, ctx)
+        return decode_pixels(codes.reshape(B, *model.config.latent_shape))
 
     dt = _timed(generate, runs=3)
-    return B / dt
+    t_bs = _timed(lambda r: bootstrap_codes(r)[0], runs=2)
+    codes0, ctx0 = bootstrap_codes(_key(0))
+    t_conf = _timed(lambda r: confidence_codes(r, codes0, ctx0), runs=2)
+    phases = {
+        "bootstrap_ms": round(t_bs * 1e3, 1),
+        "confidence_ms": round(t_conf * 1e3, 1),
+        "decode_ms": round(max(0.0, dt - t_bs - t_conf) * 1e3, 1),
+    }
+    return B / dt, phases
 
 
 def main():
-    v16 = bench_16f()
+    probe = chip_probe()
+    v16, p16 = bench_16f()
     print(
         json.dumps(
             {
@@ -196,11 +249,14 @@ def main():
                 "value": round(v16, 3),
                 "unit": "videos/sec/chip",
                 "vs_baseline": round(v16 / BASELINE_16F_VIDEOS_PER_SEC, 3),
+                "baseline_estimated": True,
+                "chip_probe_tflops_bf16": probe,
+                "phases": p16,
             }
         ),
         flush=True,
     )
-    v128 = bench_128f()
+    v128, p128 = bench_128f()
     print(
         json.dumps(
             {
@@ -208,6 +264,10 @@ def main():
                 "value": round(v128, 3),
                 "unit": "videos/sec/chip",
                 "vs_baseline": round(v128 / BASELINE_128F_VIDEOS_PER_SEC, 3),
+                "baseline_estimated": True,
+                "chip_probe_tflops_bf16": probe,
+                "chip_probe_tflops_bf16_post": chip_probe(),
+                "phases": p128,
             }
         ),
         flush=True,
