@@ -257,6 +257,13 @@ class MeBTTrainer:
         # collective: under jax.process_count() > 1 orbax synchronizes
         # processes around the write (primary host persists, the rest
         # participate in the barrier) — every process must call this
+        if jax.process_count() > 1:
+            # model-parallel state is partitioned ACROSS processes;
+            # re-replicate so device_get sees addressable full values
+            reps = jax.tree.map(
+                lambda _: NamedSharding(self.mesh, P()), state
+            )
+            state = jax.jit(lambda s: s, out_shardings=reps)(state)
         mgr = self._manager()
         mgr.save(
             int(state.step), args=ocp.args.StandardSave(_host_state(state))

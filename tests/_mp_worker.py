@@ -1,9 +1,10 @@
 """Worker for the 2-process jax.distributed test (test_multiprocess.py).
 
 Run as: python tests/_mp_worker.py <port> <process_id> <num_processes>
-<outdir>. Initializes a CPU jax.distributed cluster (1 device per
-process), runs a mini MeBTTrainer.fit over per-process loader shards,
-then dumps evidence JSON for the parent test to assert on.
+<outdir> [dp|tp]. Initializes a CPU jax.distributed cluster (1 device
+per process), runs a mini MeBTTrainer.fit — data-parallel (per-process
+loader shards) or tensor-parallel (model axis across processes,
+replicated data) — then dumps evidence JSON for the parent test.
 """
 
 import json
@@ -15,6 +16,7 @@ def main():
     port, pid, nproc, outdir = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
     )
+    mode = sys.argv[5] if len(sys.argv) > 5 else "dp"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.pop("XLA_FLAGS", None)  # exactly 1 CPU device per process
 
@@ -38,14 +40,27 @@ def main():
     from mebt_tpu.train.trainer import MeBTTrainer
     from tests._mp_common import CONFIG, CodesDataset, eval_fixed_batch
 
+    config = dict(CONFIG)
+    if mode == "tp":
+        config = json.loads(json.dumps(CONFIG))  # deep copy
+        config["exp"]["model_parallel"] = nproc
+
     trainer = MeBTTrainer(
-        CONFIG, logdir=os.path.join(outdir, "logs"), seed=0
+        config, logdir=os.path.join(outdir, "logs"), seed=0
     )
     ds = CodesDataset(8)
-    loader = DataLoader(
-        ds, batch_size=2, shuffle=True, num_workers=1, seed=5,
-    )
-    assert loader.process_count == nproc
+    if mode == "tp":
+        # model axis spans the processes; every process feeds the SAME
+        # global batch (data axis is 1)
+        loader = DataLoader(
+            ds, batch_size=4, shuffle=True, num_workers=1, seed=5,
+            process_index=0, process_count=1,
+        )
+    else:
+        loader = DataLoader(
+            ds, batch_size=2, shuffle=True, num_workers=1, seed=5,
+        )
+        assert loader.process_count == nproc
     shard = loader._epoch_indices().tolist()
 
     state = trainer.fit(loader, max_steps=3, log_every=100)

@@ -33,15 +33,14 @@ def _free_port():
     return port
 
 
-def test_two_process_data_parallel_fit(tmp_path):
+def _run_workers(outdir, mode):
     port = _free_port()
-    outdir = str(tmp_path)
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, "tests/_mp_worker.py", str(port), str(i),
-             "2", outdir],
+             "2", outdir, mode],
             cwd="/root/repo", env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
@@ -57,11 +56,16 @@ def test_two_process_data_parallel_fit(tmp_path):
         outs.append(out)
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"proc {i} failed:\n{outs[i][-4000:]}"
-
     res = []
     for i in range(2):
         with open(os.path.join(outdir, f"proc{i}.json")) as f:
             res.append(json.load(f))
+    return res
+
+
+def test_two_process_data_parallel_fit(tmp_path):
+    outdir = str(tmp_path)
+    res = _run_workers(outdir, "dp")
 
     # disjoint shards covering the dataset (8 items, 4 per process)
     s0, s1 = set(res[0]["shard"]), set(res[1]["shard"])
@@ -90,6 +94,40 @@ def test_two_process_data_parallel_fit(tmp_path):
     trainer = MeBTTrainer(
         CONFIG, logdir=str(tmp_path / "single"), seed=0
     )
+    loader = DataLoader(
+        CodesDataset(8), batch_size=4, shuffle=True, num_workers=1,
+        seed=5, process_index=0, process_count=1,
+    )
+    state = trainer.fit(loader, max_steps=3, log_every=100)
+    single_loss = eval_fixed_batch(trainer, state)
+    np.testing.assert_allclose(
+        res[0]["eval_loss"], single_loss, rtol=2e-4, atol=2e-5
+    )
+
+
+def test_two_process_tensor_parallel_fit(tmp_path):
+    """Model axis spanning 2 PROCESSES (cross-process Megatron TP over
+    gloo collectives): replicated data, partitioned params. Post-fit
+    loss must agree across processes and match the data-parallel /
+    single-process result on the same global batches."""
+    outdir = str(tmp_path)
+    res = _run_workers(outdir, "tp")
+
+    # TP replicates the loader: both processes see the full dataset
+    assert set(res[0]["shard"]) == set(res[1]["shard"]) == set(range(8))
+    assert res[0]["final_step"] == res[1]["final_step"] == 3
+    assert np.isfinite(res[0]["eval_loss"])
+    np.testing.assert_allclose(
+        res[0]["eval_loss"], res[1]["eval_loss"], rtol=1e-6
+    )
+    assert res[0]["restored_step"] == 3
+
+    # same math as an unsharded single-process run
+    from mebt_tpu.data.loader import DataLoader
+    from mebt_tpu.train.trainer import MeBTTrainer
+    from tests._mp_common import CONFIG, CodesDataset, eval_fixed_batch
+
+    trainer = MeBTTrainer(CONFIG, logdir=str(tmp_path / "single"), seed=0)
     loader = DataLoader(
         CodesDataset(8), batch_size=4, shuffle=True, num_workers=1,
         seed=5, process_index=0, process_count=1,
