@@ -61,6 +61,10 @@ class MeBTConfig:
     unconditional: bool = True
     dtype: Any = jnp.float32
     remat: bool = False
+    # Sequence (context) parallelism: when set, the model must be
+    # applied inside shard_map with the token axis sharded over this
+    # mesh axis name — see parallel/sp.py
+    seq_axis: str | None = None
 
     @classmethod
     def from_config(cls, params: Mapping, mask_shape: Sequence[int] | None = None,
@@ -123,20 +127,30 @@ class MeBT(nn.Module):
             resid_pdrop=cfg.resid_pdrop,
             dtype=cfg.dtype,
             remat=cfg.remat,
+            seq_axis=cfg.seq_axis,
             name="transformer",
         )
 
     def _embed_canvas(self, codes, ctx_mask):
         """Token embeddings for the full (B, N) canvas: tok_emb at
         context positions, mask_emb elsewhere, + positional embedding
-        (reference transformer.py:255-277)."""
+        (reference transformer.py:255-277). Under sequence parallelism
+        `codes` is this shard's slice, and the positional table is
+        sliced at the shard's global offset."""
         cfg = self.config
         N = codes.shape[1]
         tok = self.tok_emb(codes)
         tokens = jnp.where(
             ctx_mask[..., None], tok, self.mask_emb.astype(cfg.dtype)
         )
-        return tokens + self.pos_emb[:, :N].astype(cfg.dtype)
+        if cfg.seq_axis is not None:
+            shard = jax.lax.axis_index(cfg.seq_axis)
+            pos = jax.lax.dynamic_slice_in_dim(
+                self.pos_emb, shard * N, N, axis=1
+            )
+        else:
+            pos = self.pos_emb[:, :N]
+        return tokens + pos.astype(cfg.dtype)
 
     def _latent_queries(self, B):
         cfg = self.config

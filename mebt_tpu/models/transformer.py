@@ -138,6 +138,7 @@ class CrossAttention(nn.Module):
     attn_pdrop: float = 0.0
     resid_pdrop: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    seq_axis: str | None = None
 
     def setup(self):
         Dh = self.n_embd // self.n_head
@@ -162,11 +163,26 @@ class CrossAttention(nn.Module):
         canvas)."""
         return self.key(key), self.value(key)
 
-    def attend(self, query, k, v, key_mask=None, *, deterministic=True):
+    def attend(self, query, k, v, key_mask=None, *, deterministic=True,
+               kv_sharded=False):
         """Attention given precomputed K/V; query is the normalized
-        query stream."""
+        query stream. `kv_sharded=True` (inside shard_map, with
+        `seq_axis` set) runs the sequence-parallel partial-softmax merge
+        over the key axis (ops/attention.py:sp_masked_attention)."""
         q = self.query(query)
-        if self.attn_pdrop > 0.0 and not deterministic:
+        if kv_sharded:
+            if self.seq_axis is None:
+                raise ValueError("kv_sharded requires seq_axis")
+            if self.attn_pdrop > 0.0 and not deterministic:
+                raise NotImplementedError(
+                    "attention-prob dropout under sequence parallelism "
+                    "is not implemented; train SP models with "
+                    "attn_pdrop=0 or without the seq axis"
+                )
+            from mebt_tpu.ops.attention import sp_masked_attention
+
+            y = sp_masked_attention(q, k, v, key_mask, self.seq_axis)
+        elif self.attn_pdrop > 0.0 and not deterministic:
             # Dropout on attention probabilities. On TPU both routed
             # regimes run fully in the flash kernels with the mask
             # generated in-kernel (ops/attention_pallas.py); elsewhere
@@ -192,10 +208,12 @@ class CrossAttention(nn.Module):
         y = self.resid_drop(y, deterministic=deterministic)
         return y.astype(query.dtype)
 
-    def __call__(self, query, key, key_mask=None, *, deterministic=True):
+    def __call__(self, query, key, key_mask=None, *, deterministic=True,
+                 kv_sharded=False):
         k, v = self.project_kv(key)
         return self.attend(
-            query, k, v, key_mask, deterministic=deterministic
+            query, k, v, key_mask, deterministic=deterministic,
+            kv_sharded=kv_sharded,
         )
 
 
@@ -234,6 +252,7 @@ class Block(nn.Module):
     attn_pdrop: float = 0.0
     resid_pdrop: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    seq_axis: str | None = None
 
     def setup(self):
         self.ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")
@@ -244,6 +263,7 @@ class Block(nn.Module):
             attn_pdrop=self.attn_pdrop,
             resid_pdrop=self.resid_pdrop,
             dtype=self.dtype,
+            seq_axis=self.seq_axis,
             name="attn",
         )
         self.mlp = Mlp(
@@ -256,10 +276,18 @@ class Block(nn.Module):
     def __call__(
         self, latents, tokens, ctx_mask, tgt_mask, deterministic=True
     ):
+        # Under sequence parallelism (seq_axis set, called inside
+        # shard_map) `tokens`/masks hold this shard's slice of the
+        # canvas while `latents` are replicated — modes whose KEYS are
+        # tokens run the partial-softmax merge; latent-keyed modes are
+        # shard-local.
+        sp = self.seq_axis is not None
+        kv_sharded = False
         if self.mode == "latent_self":
             query, key, key_mask = latents, latents, None
         elif self.mode == "latent_enc":
             query, key, key_mask = latents, tokens, ctx_mask
+            kv_sharded = sp
         elif self.mode == "latent_dec":
             query, key, key_mask = tokens, latents, None
         elif self.mode == "lt2l":
@@ -268,8 +296,22 @@ class Block(nn.Module):
             ones = jnp.ones(
                 (tokens.shape[0], latents.shape[1]), dtype=jnp.bool_
             )
+            if sp:
+                # every shard prepends the (replicated) latents to its
+                # key slice; count them exactly once in the merged
+                # softmax by masking them off on all shards but 0
+                ones = jnp.logical_and(
+                    ones, jax.lax.axis_index(self.seq_axis) == 0
+                )
             key_mask = jnp.concatenate([ones, tgt_mask], axis=1)
+            kv_sharded = sp
         elif self.mode == "maskgit":
+            if sp:
+                raise NotImplementedError(
+                    "maskgit blocks (full token<->token attention) are "
+                    "not supported under sequence parallelism — the "
+                    "canonical MeBT mode lists contain none"
+                )
             query, key = tokens, tokens
             key_mask = jnp.logical_or(ctx_mask, tgt_mask)
         else:
@@ -277,7 +319,10 @@ class Block(nn.Module):
 
         qn = self.ln1(query)
         kn = self.ln1(key)
-        x = qn + self.attn(qn, kn, key_mask, deterministic=deterministic)
+        x = qn + self.attn(
+            qn, kn, key_mask, deterministic=deterministic,
+            kv_sharded=kv_sharded,
+        )
         x = x + self.mlp(self.ln2(x), deterministic=deterministic)
 
         if self.mode in ("latent_enc", "latent_self", "lt2l"):
@@ -307,6 +352,7 @@ class LatentTransformer(nn.Module):
     resid_pdrop: float = 0.0
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    seq_axis: str | None = None
 
     def setup(self):
         modes = default_mode_list(self.n_layer, self.mode)
@@ -324,6 +370,7 @@ class LatentTransformer(nn.Module):
                 attn_pdrop=self.attn_pdrop,
                 resid_pdrop=self.resid_pdrop,
                 dtype=self.dtype,
+                seq_axis=self.seq_axis,
                 name=f"block_{i}",
             )
             for i, m in enumerate(modes)

@@ -67,3 +67,63 @@ def masked_attention(
     probs = masked_softmax(scores, key_mask)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
     return out.astype(q.dtype)
+
+
+def sp_masked_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: jax.Array | None,
+    axis_name: str,
+    *,
+    scale: float | None = None,
+) -> jax.Array:
+    """Sequence-parallel (context-parallel) masked attention.
+
+    Called INSIDE `shard_map` with the key/value sequence axis sharded
+    over `axis_name`: each shard holds its (B, H, NK_local, Dh) slice of
+    K/V (and the matching key_mask slice); queries are replicated.
+    Exactness comes from the flash-attention partial-softmax identity —
+    subtract the GLOBAL row max (one pmax), accumulate per-shard
+    exp-sums and weighted values, and combine with two psums:
+
+        m = pmax(max_local(scores))          # global row max
+        l = psum(sum_local(exp(scores - m))) # global denominator
+        o = psum(exp(scores - m) @ v) / l
+
+    The reference has no sequence sharding at all (SURVEY.md §2.3 — long
+    sequences are handled algorithmically); this is the TPU-native
+    mechanism for scaling the 8192-token 128f canvases past one chip:
+    the latent bottleneck makes only latent_enc / lt2l attention touch
+    the sharded axis, and their queries (256 latents) are tiny, so the
+    collectives move O(B*H*NQ*Dh) — independent of sequence length.
+
+    Gradients: the whole expression is differentiable jax (psum
+    transposes to psum under shard_map); `m` is wrapped in
+    stop_gradient — the softmax value is independent of the shift, so
+    this is exact and avoids a pmax transpose.
+    """
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    if key_mask is not None:
+        if key_mask.ndim == 2:
+            key_mask = key_mask[:, None, None, :]
+        scores = jnp.where(key_mask, scores, -jnp.inf)
+    m_loc = jnp.max(scores, axis=-1, keepdims=True)
+    # stop_gradient BEFORE pmax: the softmax value is shift-invariant so
+    # this is exact, and pmax has no differentiation rule — a zero
+    # tangent input keeps it out of the JVP trace
+    m = jax.lax.pmax(jax.lax.stop_gradient(m_loc), axis_name)
+    m = jnp.where(jnp.isfinite(m), m, jnp.zeros_like(m))
+    e = jnp.exp(scores - m)
+    if key_mask is not None:
+        e = jnp.where(key_mask, e, jnp.zeros_like(e))
+    l_loc = jnp.sum(e, axis=-1, keepdims=True)
+    o_loc = jnp.einsum("bhqk,bhkd->bhqd", e.astype(v.dtype), v).astype(
+        jnp.float32
+    )
+    l = jax.lax.psum(l_loc, axis_name)
+    o = jax.lax.psum(o_loc, axis_name)
+    out = o / jnp.where(l == 0, jnp.ones_like(l), l)
+    return out.astype(q.dtype)

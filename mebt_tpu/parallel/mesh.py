@@ -31,17 +31,26 @@ Rule = tuple[str, P]
 def make_mesh(
     data: int | None = None,
     model: int = 1,
+    seq: int = 1,
     devices: Sequence | None = None,
 ) -> Mesh:
-    """Build a (data, model) mesh. data=None -> use all remaining devices."""
+    """Build a (data, model[, seq]) mesh. data=None -> use all remaining
+    devices. The `seq` axis (context parallelism over the token canvas,
+    parallel/sp.py) is only materialized when > 1 so existing 2-axis
+    consumers see an unchanged mesh."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        if n % model:
-            raise ValueError(f"{n} devices not divisible by model={model}")
-        data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
+        if n % (model * seq):
+            raise ValueError(
+                f"{n} devices not divisible by model*seq={model * seq}"
+            )
+        data = n // (model * seq)
+    if data * model * seq != n:
+        raise ValueError(f"mesh {data}x{model}x{seq} != {n} devices")
+    if seq > 1:
+        dev_array = np.asarray(devices).reshape(data, model, seq)
+        return Mesh(dev_array, ("data", "model", "seq"))
     dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, ("data", "model"))
 
