@@ -240,6 +240,30 @@ def bench_128f():
 
 
 def main():
+    import os
+    import signal
+
+    # Watchdog: the axon tunnel occasionally wedges (compiles that never
+    # return, exit-time GC deadlocks). Emit whatever JSON lines finished
+    # and die loudly instead of hanging the driver.
+    def _die(signum, frame):
+        print(
+            json.dumps(
+                {
+                    "metric": "bench_watchdog_timeout",
+                    "value": 0,
+                    "unit": "videos/sec/chip",
+                    "vs_baseline": 0,
+                    "note": "tunnel wedged; partial lines above are valid",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(7)
+
+    signal.signal(signal.SIGALRM, _die)
+    signal.alarm(int(os.environ.get("MEBT_BENCH_TIMEOUT", "3300")))
+
     probe = chip_probe()
     v16, p16 = bench_16f()
     print(
@@ -276,3 +300,11 @@ def main():
 
 if __name__ == "__main__":
     main()
+    # skip interpreter-shutdown GC (tunnel teardown can deadlock there;
+    # all output is flushed per line)
+    import os as _os
+    import sys as _sys
+
+    _sys.stdout.flush()
+    _sys.stderr.flush()
+    _os._exit(0)
