@@ -45,20 +45,30 @@ def sample_topk_tokens(
     except on exact float ties (equality recovery takes the lowest
     index; measure-zero for continuous logits).
 
+    The three O(V) passes (matmul output write, TopK read, equality
+    read) run in the INPUT dtype: pass bf16 logits (the head matmul's
+    native output — logits_head's fp32 cast only upcasts these exact
+    values) and the HBM traffic halves with bit-identical results,
+    because bf16->fp32 is monotone and exact (top-k set, argmax index
+    and selected values are all unchanged). Temperature scaling and the
+    softmax among the k values always run in fp32.
+
     Returns (samples, chosen_prob) with chosen_prob the probability of
     the sampled token under the filtered softmax (reference
     transformer.py:843-889 semantics).
     """
-    logits = logits.astype(jnp.float32) / (temperature + 1e-8)
     *lead, V = logits.shape
     flat = logits.reshape(-1, V)  # 3-D TopK lowers ~4x slower on TPU
     vals = jax.lax.top_k(flat, int(k))[0]  # (rows, k), values only
-    q = jax.random.exponential(rng, vals.shape, dtype=jnp.float32)
-    j = jnp.argmax(vals - jnp.log(q), axis=-1)[..., None]
-    chosen = jnp.take_along_axis(vals, j, axis=-1)  # (rows, 1)
+    valsf = vals.astype(jnp.float32) / (temperature + 1e-8)
+    q = jax.random.exponential(rng, valsf.shape, dtype=jnp.float32)
+    j = jnp.argmax(valsf - jnp.log(q), axis=-1)[..., None]
+    chosen = jnp.take_along_axis(vals, j, axis=-1)  # (rows, 1), input dtype
     samples = jnp.argmax(flat == chosen, axis=-1).astype(jnp.int32)
-    lse = jax.scipy.special.logsumexp(vals, axis=-1)
-    chosen_prob = jnp.exp(chosen[..., 0] - lse)
+    lse = jax.scipy.special.logsumexp(valsf, axis=-1)
+    chosen_prob = jnp.exp(
+        jnp.take_along_axis(valsf, j, axis=-1)[..., 0] - lse
+    )
     return samples.reshape(lead), chosen_prob.reshape(lead)
 
 

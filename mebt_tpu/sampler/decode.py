@@ -29,6 +29,7 @@ from mebt_tpu.ops.sampling import (
     exact_rank_desc,
     promote_targets,
     sample_tokens,
+    sample_topk_tokens,
 )
 from mebt_tpu.sampler.mask_schedule import DecodePlan, plan_segments
 
@@ -279,6 +280,28 @@ def _staged_confidence_scan(
                 )
                 sampled = s_flat.reshape(B, bucket).astype(jnp.int32)
                 chosen_p = p_flat.reshape(B, bucket)
+                probs = None
+            elif (
+                top_k is not None
+                and top_p is None
+                and score_mode == "prob"
+                and not approx_top_k
+            ):
+                # top-k fast path: run the head matmul in model dtype
+                # and hand the RAW (bf16) logits to sample_topk_tokens —
+                # the three O(rows x V) HBM passes (write + TopK read +
+                # equality read) halve vs fp32, with bit-identical
+                # samples (bf16->fp32 is monotone and exact; see
+                # ops/sampling.py:sample_topk_tokens)
+                tokens = model.apply(
+                    {"params": params}, latents, idx, cvalid,
+                    method="stage_b_tokens",
+                )
+                w = params["transformer"]["head"]["kernel"]
+                logits_raw = tokens @ w.astype(tokens.dtype)
+                sampled, chosen_p = sample_topk_tokens(
+                    r_sample, logits_raw, int(top_k), temperature
+                )
                 probs = None
             else:
                 logits = model.apply(
@@ -737,6 +760,17 @@ def _gibbs_scan_compact(
             )
             sampled = s_flat.reshape(B, M).astype(jnp.int32)
             chosen_p = p_flat.reshape(B, M)
+        elif top_k is not None and top_p is None:
+            # bf16 top-k fast path (see _staged_confidence_scan)
+            tokens = model.apply(
+                {"params": params}, latents, idx, cvalid,
+                method="stage_b_tokens",
+            )
+            w = params["transformer"]["head"]["kernel"]
+            logits_raw = tokens @ w.astype(tokens.dtype)
+            sampled, chosen_p = sample_topk_tokens(
+                r_sample, logits_raw, int(top_k), temperature
+            )
         else:
             logits = model.apply(
                 {"params": params}, latents, idx, cvalid,
