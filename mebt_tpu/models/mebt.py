@@ -197,6 +197,49 @@ class MeBT(nn.Module):
         )
         return latents
 
+    def stage_a_compact(
+        self,
+        codes: jax.Array,  # (B, N) int32 — full canvas codes
+        ctx_idx: jax.Array,  # (B, C) int32 canvas positions; >=N = padding
+        ctx_valid: jax.Array,  # (B, C) bool — live context slots
+    ) -> jax.Array:
+        """Enc phase on a compacted CONTEXT bucket. The enc-phase blocks
+        (latent_enc / latent_self) read tokens only as latent_enc KEYS
+        masked to context positions (transformer.py Block routing), so
+        gathering the context into a (B, C) bucket makes the enc phase
+        O(C) in K/V projections and attention instead of O(N) — the TPU
+        analogue of the reference gathering the variable-length NC
+        context tensor (reference gpt.py:159-195), with a static bucket.
+        During the 128f bootstrap phase C <= 128 while N = 8192.
+
+        Exactness: every live bucket slot is a context position, so its
+        embedding is tok_emb + pos_emb (mask_emb rows are never read by
+        enc blocks in the dense form — they are masked out of the keys).
+        Padding slots (ctx_idx >= N, gather clips) carry garbage that
+        ctx_valid masks out of the latent_enc keys; an all-invalid
+        bucket yields zero attention output exactly like a fully-masked
+        dense key row (ops/attention.py:masked_softmax)."""
+        cfg = self.config
+        k = transformer_split(cfg)
+        if k is None:
+            raise ValueError("mode list is not stageable; use __call__")
+        if cfg.seq_axis is not None:
+            raise ValueError(
+                "stage_a_compact is not defined under sequence "
+                "parallelism; use stage_a inside shard_map"
+            )
+        idx = jnp.minimum(ctx_idx, cfg.block_size - 1)
+        c = jnp.take_along_axis(codes, idx, axis=1)  # (B, C)
+        tokens = self.tok_emb(c) + jnp.take(
+            self.pos_emb[0], idx, axis=0
+        ).astype(cfg.dtype)
+        latents = self._latent_queries(codes.shape[0])
+        tgt_dummy = jnp.zeros_like(ctx_valid)  # enc blocks never read tgt
+        latents, _ = self.transformer.run_blocks(
+            latents, tokens, ctx_valid, tgt_dummy, 0, k
+        )
+        return latents
+
     def stage_b_tokens(
         self,
         latents: jax.Array,  # (B, sos_emb, D) from stage_a

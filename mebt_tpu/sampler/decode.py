@@ -203,11 +203,30 @@ def compact_indices(mask: jax.Array, M: int) -> jax.Array:
     return idx.at[_row_idx(mask), slot].set(pos, mode="drop")
 
 
+def _stage_a_latents(model, params, state: DecodeState, ctx_bucket):
+    """stage_a with the context compacted into a static `ctx_bucket`
+    (None = dense full-canvas stage_a). The enc phase reads tokens only
+    as context-masked latent_enc keys, so its K/V / attention cost
+    drops from O(N) to O(ctx_bucket) — during the 128f bootstrap phase
+    that is 8192 -> 128 (see models/mebt.py:stage_a_compact)."""
+    if ctx_bucket is None:
+        return model.apply(
+            {"params": params}, state.codes, state.ctx_mask,
+            method="stage_a",
+        )
+    cidx = compact_indices(state.ctx_mask, ctx_bucket)
+    return model.apply(
+        {"params": params}, state.codes, cidx,
+        cidx < state.codes.shape[1], method="stage_a_compact",
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "model",
         "bucket",
+        "ctx_bucket",
         "temperature",
         "top_k",
         "top_p",
@@ -224,6 +243,7 @@ def _staged_confidence_scan(
     plan_xs,  # (do_step, n_new, n_tgt, ctemp_scale) arrays, len = segment
     *,
     bucket: int,
+    ctx_bucket: int | None,
     temperature: float,
     top_k: int | None,
     top_p: float | None,
@@ -243,10 +263,7 @@ def _staged_confidence_scan(
             cvalid = jnp.broadcast_to(
                 jnp.arange(bucket) < n_tgt, (B, bucket)
             )
-            latents = model.apply(
-                {"params": params}, state.codes, state.ctx_mask,
-                method="stage_a",
-            )
+            latents = _stage_a_latents(model, params, state, ctx_bucket)
             rng, r_sample, r_promote = jax.random.split(state.rng, 3)
             # NOTE: top_k decoding stays on the unfused
             # stage_b_compact + sample_topk_tokens path — the
@@ -361,6 +378,7 @@ def _staged_confidence_scan(
     static_argnames=(
         "model",
         "bucket",
+        "ctx_bucket",
         "temperature",
         "top_k",
         "top_p",
@@ -375,6 +393,7 @@ def _staged_random_scan(
     plan_xs,  # (do_step, n_new)
     *,
     bucket: int,  # >= max n_new over the plan
+    ctx_bucket: int | None,  # >= max context count over the plan
     temperature: float,
     top_k: int | None,
     top_p: float | None,
@@ -410,10 +429,7 @@ def _staged_random_scan(
             )
             # forward conditions on the PRE-promotion context, exactly
             # like the dense path (sampling happens before promotion)
-            latents = model.apply(
-                {"params": params}, state.codes, state.ctx_mask,
-                method="stage_a",
-            )
+            latents = _stage_a_latents(model, params, state, ctx_bucket)
             logits = model.apply(
                 {"params": params}, latents, idx, cvalid,
                 method="stage_b_compact",
@@ -460,15 +476,27 @@ def _staged_sample(
     random_scores: bool,
     collect_history: bool,
     approx_top_k: bool,
+    n_ctx0: int | None = 0,
 ):
+    """`n_ctx0`: host-known max initial context count (for sizing the
+    compacted-context buckets); None = unknown (tracer ctx_mask on the
+    random path) — stage_a then runs dense."""
     N = state.codes.shape[1]
+    sp = model.config.seq_axis is not None
     if random_scores:
         bucket = max(8, int(np.max(plan.n_new, initial=0)))
         bucket = -(-bucket // 8) * 8
+        if n_ctx0 is None or sp:
+            ctx_bucket = None
+        else:
+            ctx_bucket = _round_bucket(
+                max(1, n_ctx0 + int(np.sum(plan.n_new, initial=0))), N
+            )
         xs = (jnp.asarray(plan.do_step), jnp.asarray(plan.n_new))
         state, history = _staged_random_scan(
             model, params, state, xs,
-            bucket=bucket, temperature=temperature, top_k=top_k,
+            bucket=bucket, ctx_bucket=ctx_bucket,
+            temperature=temperature, top_k=top_k,
             top_p=top_p, collect_history=collect_history,
             approx_top_k=approx_top_k,
         )
@@ -484,6 +512,13 @@ def _staged_sample(
             )
             return state, empty
         for start, stop, bucket in segments:
+            # context count before step s is N - n_tgt[s] (every canvas
+            # position is context or target on the staged path), so the
+            # segment's max is at its last step
+            ctx_bucket = (
+                None if sp
+                else _round_bucket(max(1, N - int(n_tgt[stop - 1])), N)
+            )
             xs = (
                 jnp.asarray(plan.do_step[start:stop]),
                 jnp.asarray(plan.n_new[start:stop]),
@@ -492,7 +527,8 @@ def _staged_sample(
             )
             state, history = _staged_confidence_scan(
                 model, params, state, xs,
-                bucket=bucket, temperature=temperature, top_k=top_k,
+                bucket=bucket, ctx_bucket=ctx_bucket,
+                temperature=temperature, top_k=top_k,
                 top_p=top_p, context_temperature=context_temperature,
                 score_mode=score_mode, collect_history=collect_history,
                 approx_top_k=approx_top_k,
@@ -585,6 +621,16 @@ def maskgit_sample(
                 "was provided"
             )
     if use_staged:
+        # host-known initial context count for the compact-ctx buckets
+        if ctx_mask is None:
+            n_ctx0 = 0
+        elif not isinstance(ctx_mask, jax.core.Tracer):
+            n_ctx0 = int(np.max(np.asarray(jnp.sum(ctx_mask, axis=-1))))
+        elif not random_scores:
+            # validated contract: context count == plan.n_ctx_init
+            n_ctx0 = int(plan.n_ctx_init)
+        else:
+            n_ctx0 = None  # unknown under trace -> dense stage_a
         return _staged_sample(
             model, params, state, plan,
             temperature=float(temperature),
@@ -595,6 +641,7 @@ def maskgit_sample(
             random_scores=random_scores,
             collect_history=bool(return_history),
             approx_top_k=bool(approx_top_k),
+            n_ctx0=n_ctx0,
         )
 
     if valid_mask is None:

@@ -355,6 +355,108 @@ def test_staged_plan_mask_mismatch_raises(small_model):
         )
 
 
+@pytest.fixture(scope="module")
+def wide_model():
+    """N=256 model: large enough that the 128-aligned context buckets
+    are strictly smaller than N, so the compact-context stage_a path
+    (stage_a_compact) runs with real partial buckets."""
+    cfg = MeBTConfig(
+        vocab_size=64,
+        block_size=256,
+        n_layer=4,
+        n_head=2,
+        n_embd=16,
+        sos_emb=8,
+        latent_shape=(4, 8, 8),
+        mode=("latent_enc", "latent_self", "latent_dec", "lt2l"),
+    )
+    model = MeBT(cfg)
+    codes = jnp.zeros((1, cfg.seq_len), jnp.int32)
+    masks = jnp.zeros((1, cfg.seq_len), bool)
+    params = model.init(jax.random.PRNGKey(0), codes, masks, ~masks)["params"]
+    return model, params
+
+
+def test_stage_a_compact_matches_dense(wide_model):
+    model, params = wide_model
+    N = model.config.seq_len
+    B = 2
+    codes = jax.random.randint(
+        jax.random.PRNGKey(61), (B, N), 0, model.config.vocab_size
+    )
+    for n_ctx in (0, 1, 37):
+        ctx = np.zeros((B, N), bool)
+        if n_ctx:
+            for b in range(B):
+                ctx[b, np.random.default_rng(b).choice(N, n_ctx, False)] = True
+        ctxj = jnp.asarray(ctx)
+        dense = model.apply({"params": params}, codes, ctxj, method="stage_a")
+        C = max(8, n_ctx + 3)  # bucket with padding slots
+        cidx = compact_indices(ctxj, C)
+        compact = model.apply(
+            {"params": params}, codes, cidx, cidx < N,
+            method="stage_a_compact",
+        )
+        np.testing.assert_allclose(
+            np.asarray(compact), np.asarray(dense), atol=1e-5, rtol=1e-5
+        )
+
+
+def test_staged_ctx_compaction_matches_dense(wide_model):
+    """Deterministic decode at N=256: segment ctx buckets (128-aligned)
+    are < N for the early segments, so this pins the partial-bucket
+    compact-context path against the dense scan."""
+    model, params = wide_model
+    N = model.config.seq_len
+    B = 2
+    plan = maskgit_plan(N, 6, "cosine", "linear", n_ctx_init=8)
+    # sanity: at least one segment must get a ctx bucket < N
+    nt = plan.n_targets_before(N)
+    segs = plan_segments(plan, N)
+    assert any(-(-max(1, N - int(nt[e - 1])) // 128) * 128 < N
+               for s, e, b in segs)
+    ctx_np = np.zeros((B, N), bool)
+    ctx_np[:, :8] = True
+    codes0 = jax.random.randint(
+        jax.random.PRNGKey(62), (B, N), 0, model.config.vocab_size
+    )
+    kw = dict(
+        codes=codes0, ctx_mask=jnp.asarray(ctx_np),
+        temperature=0.0, context_temperature=0.0,
+    )
+    rng = jax.random.PRNGKey(63)
+    dense = maskgit_sample(model, params, rng, B, plan, staged=False, **kw)
+    stg = maskgit_sample(model, params, rng, B, plan, staged=True, **kw)
+    np.testing.assert_array_equal(np.asarray(dense.codes),
+                                  np.asarray(stg.codes))
+    np.testing.assert_array_equal(np.asarray(dense.ctx_mask),
+                                  np.asarray(stg.ctx_mask))
+
+
+def test_staged_bootstrap_ctx_compaction(wide_model):
+    """Bootstrap at N=256: the ctx bucket (128) is far below N; the
+    plan-exact context growth and full-canvas fill must survive the
+    compact-context enc phase."""
+    model, params = wide_model
+    N = model.config.seq_len
+    plan = bootstrap_plan(N, 12)
+    state = maskgit_sample(
+        model, params, jax.random.PRNGKey(64), 2, plan,
+        strategy="bootstrap", staged=True,
+    )
+    ctx = np.asarray(state.ctx_mask)
+    assert (ctx.sum(-1) == 12).all()
+    assert not np.array_equal(ctx[0], ctx[1])
+    plan2 = maskgit_plan(N, 5, "cosine", n_ctx_init=12)
+    state2 = maskgit_sample(
+        model, params, jax.random.PRNGKey(65), 2, plan2,
+        codes=state.codes, ctx_mask=state.ctx_mask, staged=True,
+    )
+    assert (
+        np.asarray(state2.ctx_mask).sum(-1) == plan2.n_contexts[-1]
+    ).all()
+
+
 def test_plan_segments_cover_and_bound():
     plan = maskgit_plan(8192, 32, "cosine", n_ctx_init=64)
     segs = plan_segments(plan, 8192, max_segments=4, align=128)
