@@ -228,7 +228,9 @@ class MeBT(nn.Module):
                 "stage_a_compact is not defined under sequence "
                 "parallelism; use stage_a inside shard_map"
             )
-        idx = jnp.minimum(ctx_idx, cfg.block_size - 1)
+        # clip to the CANVAS bound (seq_len may be < block_size); padding
+        # rows are masked out of the keys either way
+        idx = jnp.minimum(ctx_idx, codes.shape[1] - 1)
         c = jnp.take_along_axis(codes, idx, axis=1)  # (B, C)
         tokens = self.tok_emb(c) + jnp.take(
             self.pos_emb[0], idx, axis=0
