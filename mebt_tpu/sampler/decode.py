@@ -31,7 +31,28 @@ from mebt_tpu.ops.sampling import (
     sample_tokens,
     sample_topk_tokens,
 )
-from mebt_tpu.sampler.mask_schedule import DecodePlan, plan_segments
+from mebt_tpu.sampler.mask_schedule import (
+    DecodePlan,
+    plan_segments,
+    plan_segments_joint,
+)
+
+
+def _ctx_weight(cfg) -> float:
+    """Per-token cost ratio of the enc phase (context tokens: K/V in
+    each latent_enc block) to the dec phase (target tokens: q/proj/mlp
+    in latent_dec, K/V in lt2l, vocab head) — drives the joint segment
+    DP (mask_schedule.plan_segments_joint)."""
+    from mebt_tpu.models.mebt import transformer_split
+    from mebt_tpu.models.transformer import default_mode_list
+
+    modes = default_mode_list(cfg.n_layer, cfg.mode)
+    k = transformer_split(cfg)
+    n_le = modes[:k].count("latent_enc")
+    n_ld = modes[k:].count("latent_dec")
+    n_l2 = modes[k:].count("lt2l")
+    w_tgt = 10 * n_ld + 2 * n_l2 + cfg.vocab_size / cfg.n_embd
+    return (2 * n_le) / max(w_tgt, 1e-6)
 
 
 @flax.struct.dataclass
@@ -504,21 +525,23 @@ def _staged_sample(
     else:
         n_tgt = plan.n_targets_before(N)
         histories = []
-        segments = plan_segments(plan, N)
+        if sp:
+            # sequence parallelism keeps the dense stage_a: tgt-only
+            # segmentation, no ctx buckets
+            segments = [
+                (s, e, b, None) for s, e, b in plan_segments(plan, N)
+            ]
+        else:
+            segments = plan_segments_joint(
+                plan, N, ctx_weight=_ctx_weight(model.config)
+            )
         if collect_history and not segments:
             empty = (
                 jnp.zeros((0,) + state.codes.shape, state.codes.dtype),
                 jnp.zeros((0,) + state.ctx_mask.shape, bool),
             )
             return state, empty
-        for start, stop, bucket in segments:
-            # context count before step s is N - n_tgt[s] (every canvas
-            # position is context or target on the staged path), so the
-            # segment's max is at its last step
-            ctx_bucket = (
-                None if sp
-                else _round_bucket(max(1, N - int(n_tgt[stop - 1])), N)
-            )
+        for start, stop, bucket, ctx_bucket in segments:
             xs = (
                 jnp.asarray(plan.do_step[start:stop]),
                 jnp.asarray(plan.n_new[start:stop]),

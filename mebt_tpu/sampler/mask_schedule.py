@@ -348,6 +348,64 @@ def plan_segments(
     )
 
 
+def plan_segments_joint(
+    plan: DecodePlan,
+    N: int,
+    max_segments: int = 6,
+    align: int = 128,
+    ctx_weight: float = 0.2,
+) -> list[tuple[int, int, int, int]]:
+    """Segment a decode plan minimizing the JOINT compacted cost
+    sum(len * (tgt_bucket + ctx_weight * ctx_bucket)).
+
+    The staged scan pays O(tgt_bucket) in the dec phase + head and
+    O(ctx_bucket) in the enc phase per step; `ctx_weight` is the
+    per-token cost ratio of the two (for the canonical 24-layer routing
+    roughly (2*n_latent_enc) / (10*n_latent_dec + 2*n_lt2l + V/D)
+    ~ 0.16). Returns [(start, stop, tgt_bucket, ctx_bucket), ...] where
+    ctx_bucket covers the context count at the segment's LAST step
+    (targets are non-increasing, context non-decreasing).
+    """
+    nt = np.asarray(plan.n_targets_before(N))
+    S = len(nt)
+    if S == 0:
+        return []
+
+    def bucket(v: int) -> int:
+        return int(min(N, -(-int(v) // align) * align))
+
+    INF = float("inf")
+    cost = [[INF] * (S + 1) for _ in range(max_segments + 1)]
+    cut = [[S] * (S + 1) for _ in range(max_segments + 1)]
+    for k in range(max_segments + 1):
+        cost[k][S] = 0.0
+    for k in range(1, max_segments + 1):
+        for i in range(S - 1, -1, -1):
+            tb = bucket(nt[i])
+            for j in range(i + 1, S + 1):
+                cb = bucket(max(1, N - int(nt[j - 1])))
+                c = (j - i) * (tb + ctx_weight * cb) + cost[k - 1][j]
+                if c < cost[k][i]:
+                    cost[k][i] = c
+                    cut[k][i] = j
+    segs = []
+    i, k = 0, max_segments
+    while i < S:
+        j = cut[k][i]
+        segs.append(
+            (i, j, bucket(nt[i]), bucket(max(1, N - int(nt[j - 1]))))
+        )
+        i, k = j, k - 1
+    merged = [segs[0]]
+    for s, e, tb, cb in segs[1:]:
+        ps, pe, ptb, pcb = merged[-1]
+        if tb == ptb and cb == pcb:
+            merged[-1] = (ps, e, tb, cb)
+        else:
+            merged.append((s, e, tb, cb))
+    return merged
+
+
 def maskgit_plan(
     N: int,
     n_steps: int,
