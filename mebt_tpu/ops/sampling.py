@@ -225,9 +225,18 @@ def sample_from_logits(
 def exact_rank_desc(values: jax.Array) -> jax.Array:
     """rank[i] = position of element i in a descending sort of `values`
     (0 = largest). Ties broken by index (stable argsort). The rank array
-    is the inverse permutation of the sort order."""
+    is the inverse permutation of the sort order — computed with ONE
+    variadic sort plus an O(N) scatter (inverting a permutation needs no
+    second sort; argsort lowers to a full variadic sort on TPU, the
+    single most expensive op in the promotion path)."""
     order = jnp.argsort(-values, axis=-1, stable=True)
-    return jnp.argsort(order, axis=-1)
+    N = values.shape[-1]
+    flat_order = order.reshape(-1, N)
+    rows = jnp.arange(flat_order.shape[0])[:, None]
+    ranks = jnp.zeros_like(flat_order).at[rows, flat_order].set(
+        jnp.broadcast_to(jnp.arange(N), flat_order.shape), mode="drop"
+    )
+    return ranks.reshape(order.shape)
 
 
 def promote_targets(

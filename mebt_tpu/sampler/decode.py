@@ -427,23 +427,36 @@ def _staged_random_scan(
     positions — the sampled values at non-promoted targets are never
     read (target positions embed as mask_emb regardless of their code).
     For the 128f bootstrap phase (64 steps, n_new=1) this removes
-    ~99% of the dec-phase/head/sampling FLOPs per step."""
+    ~99% of the dec-phase/head/sampling FLOPs per step.
+
+    Promotion order: drawing the top n_new of FRESH i.i.d. noise among
+    the remaining targets at every step (the reference's per-step
+    N(0,1) scores) is distribution-identical to drawing ONE uniform
+    random permutation of the initial targets and consuming it n_new
+    positions at a time — sampling without replacement. The scan
+    therefore ranks a single noise draw once and compares ranks against
+    the plan's cumulative offsets per step, replacing a per-step O(N)
+    variadic sort (the dominant bootstrap cost at N = 8192) with an
+    O(N) compare."""
     B = state.codes.shape[0]
 
+    rng_perm, rng0 = jax.random.split(state.rng)
+    state = state.replace(rng=rng0)
+    tgt0 = ~state.ctx_mask
+    noise = jax.random.uniform(rng_perm, tgt0.shape)
+    perm_rank = exact_rank_desc(jnp.where(tgt0, noise, -jnp.inf))
+    do_step_arr, n_new_arr = plan_xs
+    off_arr = jnp.concatenate(
+        [jnp.zeros((1,), n_new_arr.dtype), jnp.cumsum(n_new_arr)[:-1]]
+    )
+    plan_xs = (do_step_arr, n_new_arr, off_arr)
+
     def step(state: DecodeState, xs):
-        do_step, n_new = xs
+        do_step, n_new, off = xs
 
         def run(state: DecodeState) -> DecodeState:
-            tgt_mask = ~state.ctx_mask
-            rng, r_promote, r_sample = jax.random.split(state.rng, 3)
-            promote = promote_targets(
-                r_promote,
-                state.chosen_prob,  # ignored: random_scores draws noise
-                tgt_mask,
-                n_new,
-                jnp.zeros(()),
-                random_scores=True,
-            )
+            rng, r_sample = jax.random.split(state.rng)
+            promote = tgt0 & (perm_rank >= off) & (perm_rank < off + n_new)
             idx = compact_indices(promote, bucket)
             cvalid = jnp.broadcast_to(
                 jnp.arange(bucket) < n_new, (B, bucket)
