@@ -178,10 +178,13 @@ def bench_16f():
         return decode_pixels(codes)
 
     dt = _timed(generate, runs=5)
+    codes0 = sample_codes(_key(0)).reshape(B, *model.config.latent_shape)
     phases = {
         "sample_ms": round(_timed(sample_codes, runs=3) * 1e3, 1),
+        "decode_ms": round(
+            _timed(lambda r: decode_pixels(codes0), runs=3) * 1e3, 1
+        ),
     }
-    phases["decode_ms"] = round(max(0.0, dt - phases["sample_ms"] / 1e3) * 1e3, 1)
     return B / dt, phases
 
 
@@ -231,10 +234,14 @@ def bench_128f():
     t_bs = _timed(lambda r: bootstrap_codes(r)[0], runs=2)
     codes0, ctx0 = bootstrap_codes(_key(0))
     t_conf = _timed(lambda r: confidence_codes(r, codes0, ctx0), runs=2)
+    pix0 = confidence_codes(_key(1), codes0, ctx0).reshape(
+        B, *model.config.latent_shape
+    )
+    t_dec = _timed(lambda r: decode_pixels(pix0), runs=2)
     phases = {
         "bootstrap_ms": round(t_bs * 1e3, 1),
         "confidence_ms": round(t_conf * 1e3, 1),
-        "decode_ms": round(max(0.0, dt - t_bs - t_conf) * 1e3, 1),
+        "decode_ms": round(t_dec * 1e3, 1),
     }
     return B / dt, phases
 

@@ -29,7 +29,12 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from mebt_tpu.models.mebt import MeBT, MeBTConfig
 from mebt_tpu.models.vqgan import VQGAN
-from mebt_tpu.parallel.mesh import make_mesh, mebt_param_rules, spec_for_tree
+from mebt_tpu.parallel.mesh import (
+    make_mesh,
+    mebt_param_rules,
+    spec_for_tree,
+    zero1_specs,
+)
 from mebt_tpu.sampler.mask_schedule import MaskGen, T_PRIORS
 from mebt_tpu.train.train_state import (
     TrainState,
@@ -168,6 +173,10 @@ class MeBTTrainer:
     def _shard(self, state: TrainState):
         rules = mebt_param_rules()
         specs = spec_for_tree(state, rules)
+        if bool(self.config.get("exp", {}).get("zero1", False)):
+            # ZeRO-1: AdamW moments sharded over the data axis
+            # (parallel/mesh.py:zero1_specs)
+            specs = zero1_specs(state, specs, self.mesh)
         self._state_shardings = jax.tree.map(
             lambda s: NamedSharding(self.mesh, s), specs,
             is_leaf=lambda x: isinstance(x, P),

@@ -102,6 +102,86 @@ def test_sharded_staged_vs_dense_decode(mesh):
     )
 
 
+def test_zero1_training_matches_replicated(mesh):
+    """ZeRO-1 (optimizer moments sharded over the data axis,
+    parallel/mesh.py:zero1_specs) must not change the training
+    trajectory, and must actually shard the AdamW moments."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mebt_tpu.parallel.mesh import (
+        mebt_param_rules, spec_for_tree, zero1_specs,
+    )
+    from mebt_tpu.train.train_state import (
+        TrainState, make_optimizer, make_train_step,
+    )
+
+    cfg = MeBTConfig(
+        vocab_size=32, block_size=48, n_layer=2, n_head=2, n_embd=16,
+        sos_emb=4, mode=("latent_enc", "latent_dec"), latent_shape=(3, 4, 4),
+    )
+    model = MeBT(cfg)
+    N = cfg.seq_len
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, N), jnp.int32),
+        jnp.zeros((1, N), bool),
+        jnp.zeros((1, N), bool),
+    )["params"]
+    tx = make_optimizer(exact_lr=1e-3)
+    step_fn = make_train_step(model, tx)
+
+    rng = np.random.default_rng(0)
+    B = 8
+    batch = {
+        "codes": jnp.asarray(rng.integers(0, 32, size=(B, N)), jnp.int32),
+        "ctx_mask": jnp.zeros((B, N), bool).at[:, :16].set(True),
+        "tgt_mask": jnp.zeros((B, N), bool).at[:, 16:].set(True),
+        "seq_len": jnp.float32(N),
+        "masked_weight": jnp.float32(N - 16),
+    }
+
+    def run(zero1):
+        state = TrainState.create(
+            jax.random.key(7, impl="threefry2x32"), params, tx
+        )
+        specs = spec_for_tree(state, mebt_param_rules())
+        if zero1:
+            specs = zero1_specs(state, specs, mesh, min_size=8)
+        shardings = jax.tree.map(
+            lambda s: NamedSharding(mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        state = jax.device_put(state, shardings)
+        jit_step = jax.jit(
+            step_fn, in_shardings=(shardings, None),
+            out_shardings=(shardings, None),
+        )
+        losses = []
+        for _ in range(3):
+            state, metrics = jit_step(state, batch)
+            losses.append(float(metrics["loss"]))
+        return losses, state
+
+    losses_ref, _ = run(zero1=False)
+    losses_z, state_z = run(zero1=True)
+    np.testing.assert_allclose(losses_z, losses_ref, rtol=1e-5)
+
+    # the AdamW mu moment for a Dense kernel must be sharded over 'data'
+    mu_specs = [
+        s.spec
+        for leaf, s in zip(
+            jax.tree.leaves(state_z.opt_state),
+            jax.tree.leaves(
+                jax.tree.map(
+                    lambda x: x.sharding, state_z.opt_state
+                )
+            ),
+        )
+        if getattr(leaf, "ndim", 0) >= 2 and leaf.size >= 8
+    ]
+    assert any("data" in [a for a in sp if a] for sp in mu_specs), mu_specs
+
+
 def test_sharded_gibbs_revise(mesh):
     from mebt_tpu.sampler.decode import draft_and_revise
 
