@@ -32,27 +32,34 @@ def make_mesh(
     data: int | None = None,
     model: int = 1,
     seq: int = 1,
+    pipe: int = 1,
     devices: Sequence | None = None,
 ) -> Mesh:
-    """Build a (data, model[, seq]) mesh. data=None -> use all remaining
-    devices. The `seq` axis (context parallelism over the token canvas,
-    parallel/sp.py) is only materialized when > 1 so existing 2-axis
-    consumers see an unchanged mesh."""
+    """Build a (data, model[, seq][, pipe]) mesh. data=None -> use all
+    remaining devices. The `seq` axis (context parallelism over the token
+    canvas, parallel/sp.py) and the `pipe` axis (GPipe pipeline over the
+    transformer blocks, parallel/pp.py) are only materialized when > 1 so
+    existing 2-axis consumers see an unchanged mesh."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        if n % (model * seq):
+        if n % (model * seq * pipe):
             raise ValueError(
-                f"{n} devices not divisible by model*seq={model * seq}"
+                f"{n} devices not divisible by model*seq*pipe="
+                f"{model * seq * pipe}"
             )
-        data = n // (model * seq)
-    if data * model * seq != n:
-        raise ValueError(f"mesh {data}x{model}x{seq} != {n} devices")
+        data = n // (model * seq * pipe)
+    if data * model * seq * pipe != n:
+        raise ValueError(f"mesh {data}x{model}x{seq}x{pipe} != {n} devices")
+    shape, names = [data, model], ["data", "model"]
     if seq > 1:
-        dev_array = np.asarray(devices).reshape(data, model, seq)
-        return Mesh(dev_array, ("data", "model", "seq"))
-    dev_array = np.asarray(devices).reshape(data, model)
-    return Mesh(dev_array, ("data", "model"))
+        shape.append(seq)
+        names.append("seq")
+    if pipe > 1:
+        shape.append(pipe)
+        names.append("pipe")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, tuple(names))
 
 
 def mebt_param_rules() -> list[Rule]:

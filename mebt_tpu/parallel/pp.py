@@ -1,0 +1,255 @@
+"""Pipeline parallelism (GPipe schedule) over the transformer blocks.
+
+The reference has NO pipeline parallelism (SURVEY.md §2.3 — its only
+strategy is Lightning DDP); this module adds the TPU-native mechanism
+for scaling MeBT past one chip's parameter/activation memory along the
+DEPTH axis: the 24 blocks are partitioned into contiguous stages over a
+`pipe` mesh axis, the batch is split into microbatches, and activations
+flow stage-to-stage with `jax.lax.ppermute` inside `shard_map` (the
+standard SPMD pipelining recipe — every device runs the same program;
+stage identity comes from `lax.axis_index`).
+
+Design notes (TPU-first):
+  * Each device holds ONLY its stage's block parameters: the per-block
+    trees are stacked on a leading (n_layer,) axis and sharded
+    P('pipe'), so parameter memory scales 1/S. Stage compute is a
+    `lax.scan` over the local blocks with `lax.switch` on the per-block
+    routing mode (the five MeBT block modes share one parameter
+    schema, models/transformer.py:Block).
+  * The GPipe bubble is the usual (S-1)/(M+S-1) overhead; microbatch
+    count M trades bubble against per-microbatch MXU utilization.
+  * Both streams (latents AND token canvas) flow through the pipe —
+    enc-phase stages update latents, dec-phase stages update tokens.
+    Per-step traffic is O(mb * (sos + N) * D) over ICI neighbours.
+  * `remat=True` wraps each stage in `jax.checkpoint`, the classic
+    GPipe memory trade (activations re-materialized in backward).
+  * Embeddings and the vocab head run OUTSIDE the pipeline (replicated,
+    per-token cheap); a deployment that needs them sharded can fold
+    them into stage 0 / S-1.
+
+Composes with data parallelism: microbatches are sharded over 'data',
+stages over 'pipe'. Exactness: tests/test_pipeline_parallel.py pins
+logits, loss, and parameter gradients against the unsharded forward on
+a virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from mebt_tpu.models.mebt import MeBT, mlm_loss
+from mebt_tpu.models.transformer import (
+    BLOCK_MODES,
+    Block,
+    default_mode_list,
+)
+
+
+def stack_block_params(params, n_layer: int):
+    """Stack the per-block parameter trees (transformer/block_{i}) along
+    a leading (n_layer,) axis — the layout the pipeline shards P('pipe').
+    All five block modes share one parameter schema, so one stacked tree
+    covers heterogeneous mode lists."""
+    blocks = [params["transformer"][f"block_{i}"] for i in range(n_layer)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def unstack_block_params(stacked, n_layer: int):
+    """Inverse of stack_block_params: {block_i: tree} mapping."""
+    return {
+        f"block_{i}": jax.tree.map(lambda x: x[i], stacked)
+        for i in range(n_layer)
+    }
+
+
+def _block_branches(cfg):
+    """One apply-branch per routing mode for `lax.switch` (deterministic;
+    the pipeline is exercised for inference and dropout-free training —
+    per-stage RNG plumbing is the SP-style fold_in extension)."""
+
+    def branch(mode):
+        blk = Block(
+            mode=mode,
+            n_embd=cfg.n_embd,
+            n_head=cfg.n_head,
+            dtype=cfg.dtype,
+        )
+
+        def f(bp, latents, tokens, ctx, tgt):
+            return blk.apply({"params": bp}, latents, tokens, ctx, tgt, True)
+
+        return f
+
+    return [branch(m) for m in BLOCK_MODES]
+
+
+def pp_logits(
+    model: MeBT,
+    params,
+    codes: jax.Array,  # (B, N) int32 — full canvas
+    ctx_mask: jax.Array,  # (B, N) bool
+    tgt_mask: jax.Array,  # (B, N) bool
+    mesh: Mesh,
+    n_micro: int,
+    *,
+    remat: bool = False,
+) -> jax.Array:
+    """(B, N, V) logits computed through the stage pipeline.
+
+    Requires n_layer % pipe == 0 and B % (n_micro * data) == 0.
+    """
+    cfg = model.config
+    S = mesh.shape["pipe"]
+    L = cfg.n_layer
+    if L % S:
+        raise ValueError(f"n_layer {L} not divisible by pipe axis {S}")
+    M = int(n_micro)
+    B, N = codes.shape
+    if B % M:
+        raise ValueError(f"batch {B} not divisible by n_micro {M}")
+    mb = B // M
+
+    modes = default_mode_list(L, cfg.mode)
+    mode_ids = jnp.asarray([BLOCK_MODES.index(m) for m in modes], jnp.int32)
+    stacked = stack_block_params(params, L)
+    branches = _block_branches(cfg)
+
+    # embeddings + latent queries outside the pipeline (replicated params,
+    # per-token cheap). tokens0: (M, mb, N, D); latents0: (mb, C, D) —
+    # identical for every microbatch (learned queries broadcast).
+    tokens0 = model.apply(
+        {"params": params}, codes, ctx_mask, method=MeBT._embed_canvas
+    ).reshape(M, mb, N, cfg.n_embd)
+    latents0 = model.apply(
+        {"params": params}, mb, method=MeBT._latent_queries
+    )
+    ctx_all = ctx_mask.reshape(M, mb, N)
+    tgt_all = tgt_mask.reshape(M, mb, N)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P("pipe"), stacked),
+            P("pipe"),
+            P(None, "data"),
+            P("data"),
+            P(None, "data"),
+            P(None, "data"),
+        ),
+        out_specs=P("pipe", "data"),
+        check_vma=False,
+    )
+    def pipeline(blocks, mids, tokens0, latents0, ctx_all, tgt_all):
+        sidx = jax.lax.axis_index("pipe")
+
+        def run_stage(latents, tokens, ctx, tgt):
+            def body(carry, xs):
+                bp, mid = xs
+                lat, tok = carry
+                lat, tok = jax.lax.switch(
+                    mid, branches, bp, lat, tok, ctx, tgt
+                )
+                return (lat, tok), None
+
+            (latents, tokens), _ = jax.lax.scan(
+                body, (latents, tokens), (blocks, mids)
+            )
+            return latents, tokens
+
+        if remat:
+            run_stage = jax.checkpoint(run_stage)
+
+        T = M + S - 1
+        state = (jnp.zeros_like(latents0), jnp.zeros_like(tokens0[0]))
+        outbuf = jnp.zeros_like(tokens0)
+
+        def step(carry, t):
+            state, outbuf = carry
+            # stage 0 feeds microbatch t; later stages consume the
+            # ppermute'd activations from their predecessor
+            mb_in = jnp.clip(t, 0, M - 1)
+            fresh = (
+                latents0,
+                jax.lax.dynamic_index_in_dim(
+                    tokens0, mb_in, 0, keepdims=False
+                ),
+            )
+            first = sidx == 0
+            lat, tok = jax.tree.map(
+                lambda a, b: jnp.where(first, a, b), fresh, state
+            )
+            # this device is processing microbatch t - stage_index
+            mb_cur = jnp.clip(t - sidx, 0, M - 1)
+            ctx = jax.lax.dynamic_index_in_dim(
+                ctx_all, mb_cur, 0, keepdims=False
+            )
+            tgt = jax.lax.dynamic_index_in_dim(
+                tgt_all, mb_cur, 0, keepdims=False
+            )
+            out = run_stage(lat, tok, ctx, tgt)
+
+            # the last stage banks the finished token stream
+            oi = jnp.clip(t - (S - 1), 0, M - 1)
+            write = jnp.logical_and(sidx == S - 1, t >= S - 1)
+            cur = jax.lax.dynamic_index_in_dim(outbuf, oi, 0, keepdims=False)
+            new = jnp.where(write, out[1], cur)
+            outbuf = jax.lax.dynamic_update_index_in_dim(outbuf, new, oi, 0)
+
+            # hand activations to the next stage (stage 0 receives zeros
+            # and overwrites them with fresh input above)
+            state = jax.tree.map(
+                lambda x: jax.lax.ppermute(
+                    x, "pipe", [(i, i + 1) for i in range(S - 1)]
+                ),
+                out,
+            )
+            return (state, outbuf), None
+
+        (_, outbuf), _ = jax.lax.scan(step, (state, outbuf), jnp.arange(T))
+        return outbuf
+
+    # out_specs stacks every stage's buffer: (S*M, mb, N, D); only the
+    # last stage's M entries carry the finished canvases
+    out = pipeline(stacked, mode_ids, tokens0, latents0, ctx_all, tgt_all)
+    tokens = out[-M:].reshape(B, N, cfg.n_embd)
+    return model.apply(
+        {"params": params},
+        tokens,
+        method=lambda m, t: m.transformer.logits_head(t),
+    )
+
+
+def pp_loss_fn(
+    model: MeBT,
+    mesh: Mesh,
+    n_micro: int,
+    avg_loss: float = 1.0,
+    label_smoothing: float = 0.0,
+    remat: bool = False,
+):
+    """Pipeline-parallel MLM training objective (dropout-free — the
+    canonical 16f configs train with pdrop 0.1, but PP is the
+    scale-out mechanism for models that do not fit one chip, where
+    regularization is config-adjusted anyway; an SP-style fold_in
+    extension adds dropout if needed). Differentiating through the
+    pipeline transposes each ppermute into its reverse shift, giving
+    the standard GPipe backward schedule."""
+
+    def fn(params, batch):
+        logits = pp_logits(
+            model, params, batch["codes"], batch["ctx_mask"],
+            batch["tgt_mask"], mesh, n_micro, remat=remat,
+        )
+        return mlm_loss(
+            logits, batch["codes"], batch["tgt_mask"], batch["seq_len"],
+            batch["masked_weight"], avg_loss=avg_loss,
+            label_smoothing=label_smoothing,
+        )
+
+    return fn
