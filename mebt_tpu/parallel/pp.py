@@ -67,21 +67,28 @@ def unstack_block_params(stacked, n_layer: int):
     }
 
 
-def _block_branches(cfg):
-    """One apply-branch per routing mode for `lax.switch` (deterministic;
-    the pipeline is exercised for inference and dropout-free training —
-    per-stage RNG plumbing is the SP-style fold_in extension)."""
+def _block_branches(cfg, deterministic: bool):
+    """One apply-branch per routing mode for `lax.switch`. In training
+    mode (deterministic=False) each branch consumes a dropout key folded
+    per (global layer, microbatch) so draws are independent across
+    stages, layers, and microbatches."""
 
     def branch(mode):
         blk = Block(
             mode=mode,
             n_embd=cfg.n_embd,
             n_head=cfg.n_head,
+            attn_pdrop=0.0 if deterministic else cfg.attn_pdrop,
+            resid_pdrop=0.0 if deterministic else cfg.resid_pdrop,
             dtype=cfg.dtype,
         )
 
-        def f(bp, latents, tokens, ctx, tgt):
-            return blk.apply({"params": bp}, latents, tokens, ctx, tgt, True)
+        def f(bp, latents, tokens, ctx, tgt, rng):
+            rngs = None if deterministic else {"dropout": rng}
+            return blk.apply(
+                {"params": bp}, latents, tokens, ctx, tgt, deterministic,
+                rngs=rngs,
+            )
 
         return f
 
@@ -98,10 +105,13 @@ def pp_logits(
     n_micro: int,
     *,
     remat: bool = False,
+    rng: jax.Array | None = None,
 ) -> jax.Array:
     """(B, N, V) logits computed through the stage pipeline.
 
     Requires n_layer % pipe == 0 and B % (n_micro * data) == 0.
+    `rng` enables training-mode dropout (embd/attn/resid per config),
+    with draws independent across stages, layers, and microbatches.
     """
     cfg = model.config
     S = mesh.shape["pipe"]
@@ -113,21 +123,36 @@ def pp_logits(
     if B % M:
         raise ValueError(f"batch {B} not divisible by n_micro {M}")
     mb = B // M
+    deterministic = rng is None
 
     modes = default_mode_list(L, cfg.mode)
     mode_ids = jnp.asarray([BLOCK_MODES.index(m) for m in modes], jnp.int32)
     stacked = stack_block_params(params, L)
-    branches = _block_branches(cfg)
+    branches = _block_branches(cfg, deterministic)
 
     # embeddings + latent queries outside the pipeline (replicated params,
-    # per-token cheap). tokens0: (M, mb, N, D); latents0: (mb, C, D) —
-    # identical for every microbatch (learned queries broadcast).
+    # per-token cheap). tokens0/latents0: (M, mb, ...) per microbatch
+    # (latent queries are broadcast, but embedding dropout must draw
+    # independently per microbatch).
     tokens0 = model.apply(
         {"params": params}, codes, ctx_mask, method=MeBT._embed_canvas
     ).reshape(M, mb, N, cfg.n_embd)
-    latents0 = model.apply(
-        {"params": params}, mb, method=MeBT._latent_queries
+    latents0 = jnp.broadcast_to(
+        model.apply({"params": params}, mb, method=MeBT._latent_queries),
+        (M, mb, cfg.sos_emb, cfg.n_embd),
     )
+    if not deterministic and cfg.embd_pdrop > 0.0:
+        k_tok, k_lat, rng = jax.random.split(rng, 3)
+        keep = 1.0 - cfg.embd_pdrop
+        tokens0 = tokens0 * (
+            jax.random.bernoulli(k_tok, keep, tokens0.shape) / keep
+        ).astype(tokens0.dtype)
+        latents0 = latents0 * (
+            jax.random.bernoulli(k_lat, keep, latents0.shape) / keep
+        ).astype(latents0.dtype)
+    if rng is None:
+        # shard_map needs a consistent arg pytree; branches ignore it
+        rng = jax.random.key(0)
     ctx_all = ctx_mask.reshape(M, mb, N)
     tgt_all = tgt_mask.reshape(M, mb, N)
 
@@ -138,27 +163,33 @@ def pp_logits(
             jax.tree.map(lambda _: P("pipe"), stacked),
             P("pipe"),
             P(None, "data"),
-            P("data"),
             P(None, "data"),
             P(None, "data"),
+            P(None, "data"),
+            P(),
         ),
         out_specs=P("pipe", "data"),
         check_vma=False,
     )
-    def pipeline(blocks, mids, tokens0, latents0, ctx_all, tgt_all):
+    def pipeline(blocks, mids, tokens0, latents0, ctx_all, tgt_all, key):
         sidx = jax.lax.axis_index("pipe")
+        lidx = sidx * (L // S) + jnp.arange(L // S)
 
-        def run_stage(latents, tokens, ctx, tgt):
+        def run_stage(latents, tokens, ctx, tgt, mb_cur):
             def body(carry, xs):
-                bp, mid = xs
+                bp, mid, li = xs
                 lat, tok = carry
+                # dropout draws independent per (layer, microbatch)
+                rkey = jax.random.fold_in(
+                    jax.random.fold_in(key, li), mb_cur
+                )
                 lat, tok = jax.lax.switch(
-                    mid, branches, bp, lat, tok, ctx, tgt
+                    mid, branches, bp, lat, tok, ctx, tgt, rkey
                 )
                 return (lat, tok), None
 
             (latents, tokens), _ = jax.lax.scan(
-                body, (latents, tokens), (blocks, mids)
+                body, (latents, tokens), (blocks, mids, lidx)
             )
             return latents, tokens
 
@@ -166,7 +197,7 @@ def pp_logits(
             run_stage = jax.checkpoint(run_stage)
 
         T = M + S - 1
-        state = (jnp.zeros_like(latents0), jnp.zeros_like(tokens0[0]))
+        state = (jnp.zeros_like(latents0[0]), jnp.zeros_like(tokens0[0]))
         outbuf = jnp.zeros_like(tokens0)
 
         def step(carry, t):
@@ -174,11 +205,11 @@ def pp_logits(
             # stage 0 feeds microbatch t; later stages consume the
             # ppermute'd activations from their predecessor
             mb_in = jnp.clip(t, 0, M - 1)
-            fresh = (
-                latents0,
-                jax.lax.dynamic_index_in_dim(
-                    tokens0, mb_in, 0, keepdims=False
+            fresh = jax.tree.map(
+                lambda x: jax.lax.dynamic_index_in_dim(
+                    x, mb_in, 0, keepdims=False
                 ),
+                (latents0, tokens0),
             )
             first = sidx == 0
             lat, tok = jax.tree.map(
@@ -192,7 +223,7 @@ def pp_logits(
             tgt = jax.lax.dynamic_index_in_dim(
                 tgt_all, mb_cur, 0, keepdims=False
             )
-            out = run_stage(lat, tok, ctx, tgt)
+            out = run_stage(lat, tok, ctx, tgt, mb_cur)
 
             # the last stage banks the finished token stream
             oi = jnp.clip(t - (S - 1), 0, M - 1)
@@ -216,7 +247,9 @@ def pp_logits(
 
     # out_specs stacks every stage's buffer: (S*M, mb, N, D); only the
     # last stage's M entries carry the finished canvases
-    out = pipeline(stacked, mode_ids, tokens0, latents0, ctx_all, tgt_all)
+    out = pipeline(
+        stacked, mode_ids, tokens0, latents0, ctx_all, tgt_all, rng
+    )
     tokens = out[-M:].reshape(B, N, cfg.n_embd)
     return model.apply(
         {"params": params},
@@ -233,18 +266,16 @@ def pp_loss_fn(
     label_smoothing: float = 0.0,
     remat: bool = False,
 ):
-    """Pipeline-parallel MLM training objective (dropout-free — the
-    canonical 16f configs train with pdrop 0.1, but PP is the
-    scale-out mechanism for models that do not fit one chip, where
-    regularization is config-adjusted anyway; an SP-style fold_in
-    extension adds dropout if needed). Differentiating through the
-    pipeline transposes each ppermute into its reverse shift, giving
-    the standard GPipe backward schedule."""
+    """Pipeline-parallel MLM training objective. Pass `rng` for
+    training-mode dropout (embd/attn/resid per config, independent per
+    stage/layer/microbatch). Differentiating through the pipeline
+    transposes each ppermute into its reverse shift, giving the
+    standard GPipe backward schedule."""
 
-    def fn(params, batch):
+    def fn(params, batch, rng=None):
         logits = pp_logits(
             model, params, batch["codes"], batch["ctx_mask"],
-            batch["tgt_mask"], mesh, n_micro, remat=remat,
+            batch["tgt_mask"], mesh, n_micro, remat=remat, rng=rng,
         )
         return mlm_loss(
             logits, batch["codes"], batch["tgt_mask"], batch["seq_len"],

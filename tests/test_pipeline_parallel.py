@@ -72,6 +72,42 @@ def test_pp_supports_maskgit_blocks(mesh):
     np.testing.assert_allclose(np.asarray(pp), np.asarray(dense), atol=1e-5)
 
 
+def test_pp_training_dropout(mesh):
+    """Training-mode dropout through the pipeline: deterministic in the
+    key, varying across keys, and gradients stay finite."""
+    import dataclasses
+
+    model, params, codes, ctx, tgt = _setup(
+        ("latent_enc", "latent_self", "latent_dec", "lt2l")
+    )
+    model = MeBT(
+        dataclasses.replace(
+            model.config, embd_pdrop=0.1, attn_pdrop=0.1, resid_pdrop=0.1
+        )
+    )
+    N = codes.shape[1]
+    batch = {
+        "codes": codes,
+        "ctx_mask": ctx,
+        "tgt_mask": tgt,
+        "seq_len": jnp.float32(N),
+        "masked_weight": jnp.float32(N - 8),
+    }
+    loss_fn = pp_loss_fn(model, mesh, n_micro=4, avg_loss=1.0)
+    step = jax.jit(
+        jax.value_and_grad(
+            lambda p, b, r: loss_fn(p, b, r), has_aux=True
+        )
+    )
+    (l1, _), g1 = step(params, batch, jax.random.key(1))
+    (l1b, _), _ = step(params, batch, jax.random.key(1))
+    (l2, _), _ = step(params, batch, jax.random.key(2))
+    assert float(l1) == float(l1b)
+    assert float(l1) != float(l2)
+    for leaf in jax.tree.leaves(g1):
+        assert np.isfinite(np.asarray(leaf, dtype=np.float32)).all()
+
+
 @pytest.mark.parametrize("remat", [False, True])
 def test_pp_loss_and_grads_match_dense(mesh, remat):
     model, params, codes, ctx, tgt = _setup(
