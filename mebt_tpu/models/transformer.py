@@ -139,6 +139,10 @@ class CrossAttention(nn.Module):
     resid_pdrop: float = 0.0
     dtype: jnp.dtype = jnp.float32
     seq_axis: str | None = None
+    # under sequence parallelism, dropout on the (seq-replicated) latent
+    # stream must draw from a shard-invariant RNG stream — see
+    # parallel/sp.py
+    rng_collection: str = "dropout"
 
     def setup(self):
         Dh = self.n_embd // self.n_head
@@ -154,7 +158,9 @@ class CrossAttention(nn.Module):
                                    name="value")
         self.proj = HeadMergeProj(self.n_embd, dtype=self.dtype,
                                   name="proj")
-        self.resid_drop = nn.Dropout(self.resid_pdrop)
+        self.resid_drop = nn.Dropout(
+            self.resid_pdrop, rng_collection=self.rng_collection
+        )
 
     def project_kv(self, key):
         """K/V head projections of an (already normalized) key stream —
@@ -221,6 +227,7 @@ class Mlp(nn.Module):
     n_embd: int
     resid_pdrop: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    rng_collection: str = "dropout"
 
     @nn.compact
     def __call__(self, x, *, deterministic=True):
@@ -231,7 +238,9 @@ class Mlp(nn.Module):
         h = nn.Dense(
             self.n_embd, kernel_init=dense_init, dtype=self.dtype, name="proj"
         )(h)
-        h = nn.Dropout(self.resid_pdrop)(h, deterministic=deterministic)
+        h = nn.Dropout(self.resid_pdrop, rng_collection=self.rng_collection)(
+            h, deterministic=deterministic
+        )
         return h
 
 
@@ -257,6 +266,15 @@ class Block(nn.Module):
     def setup(self):
         self.ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")
         self.ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")
+        # Under SP the residual/MLP dropout applies to this block's
+        # OUTPUT stream: the latent stream (seq-replicated — must draw
+        # from the shard-invariant 'dropout_lat' RNG stream so every
+        # shard applies the same mask) for latent-updating modes, the
+        # token stream (seq-sharded — per-shard 'dropout' stream) for
+        # latent_dec. Without SP everything stays on 'dropout'.
+        coll = "dropout"
+        if self.seq_axis is not None and self.mode != "latent_dec":
+            coll = "dropout_lat"
         self.attn = CrossAttention(
             n_embd=self.n_embd,
             n_head=self.n_head,
@@ -264,12 +282,14 @@ class Block(nn.Module):
             resid_pdrop=self.resid_pdrop,
             dtype=self.dtype,
             seq_axis=self.seq_axis,
+            rng_collection=coll,
             name="attn",
         )
         self.mlp = Mlp(
             n_embd=self.n_embd,
             resid_pdrop=self.resid_pdrop,
             dtype=self.dtype,
+            rng_collection=coll,
             name="mlp",
         )
 
@@ -376,6 +396,14 @@ class LatentTransformer(nn.Module):
             for i, m in enumerate(modes)
         ]
         self.drop = nn.Dropout(self.embd_pdrop)
+        # embedding dropout on the seq-replicated latent stream must be
+        # shard-invariant under SP (see Block.setup)
+        self.drop_lat = nn.Dropout(
+            self.embd_pdrop,
+            rng_collection=(
+                "dropout_lat" if self.seq_axis is not None else "dropout"
+            ),
+        )
         self.ln_f = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_f")
         self.head = nn.Dense(
             self.vocab_size,
@@ -388,7 +416,7 @@ class LatentTransformer(nn.Module):
     def __call__(
         self, latents, tokens, ctx_mask, tgt_mask, *, deterministic=True
     ):
-        latents = self.drop(latents, deterministic=deterministic)
+        latents = self.drop_lat(latents, deterministic=deterministic)
         tokens = self.drop(tokens, deterministic=deterministic)
         for block in self.blocks:
             latents, tokens = block(

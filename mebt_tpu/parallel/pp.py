@@ -174,6 +174,9 @@ def pp_logits(
     def pipeline(blocks, mids, tokens0, latents0, ctx_all, tgt_all, key):
         sidx = jax.lax.axis_index("pipe")
         lidx = sidx * (L // S) + jnp.arange(L // S)
+        # both activation streams are batch-sharded over 'data', so
+        # dropout draws must differ across data shards too
+        dkey = jax.random.fold_in(key, jax.lax.axis_index("data"))
 
         def run_stage(latents, tokens, ctx, tgt, mb_cur):
             def body(carry, xs):
@@ -181,7 +184,7 @@ def pp_logits(
                 lat, tok = carry
                 # dropout draws independent per (layer, microbatch)
                 rkey = jax.random.fold_in(
-                    jax.random.fold_in(key, li), mb_cur
+                    jax.random.fold_in(dkey, li), mb_cur
                 )
                 lat, tok = jax.lax.switch(
                     mid, branches, bp, lat, tok, ctx, tgt, rkey

@@ -38,6 +38,32 @@ def sp_model(model: MeBT) -> MeBT:
     return MeBT(dataclasses.replace(model.config, seq_axis="seq"))
 
 
+def sp_dropout_rngs(key) -> dict:
+    """Training-dropout RNG streams for the SP forward (call inside
+    shard_map over a ('data', 'seq') mesh). Two streams, routed by the
+    modules (models/transformer.py Block.setup — attention-prob dropout
+    is rejected by the SP attend path):
+
+      * 'dropout'     — token-stream dropout. Tokens are sharded
+        (data, seq), so draws fold BOTH shard indices.
+      * 'dropout_lat' — latent-stream dropout. Latents are batch-sharded
+        over 'data' but REPLICATED over 'seq'; every seq shard must
+        apply the SAME mask or the partial-softmax merge would sum
+        attention partials of different query tensors. Folds 'data'
+        only.
+    """
+    di = jax.lax.axis_index("data")
+    si = jax.lax.axis_index("seq")
+    return {
+        "dropout": jax.random.fold_in(
+            jax.random.fold_in(jax.random.fold_in(key, 0), di), si
+        ),
+        "dropout_lat": jax.random.fold_in(
+            jax.random.fold_in(key, 1), di
+        ),
+    }
+
+
 def sp_forward(
     model: MeBT,
     params,
@@ -67,14 +93,7 @@ def sp_forward(
         check_vma=False,
     )
     def fwd(params, codes, ctx, tgt, key):
-        r = None
-        if key is not None:
-            # per-token dropout must differ across shards; per-shard
-            # fold keeps draws independent (embd/resid dropout only —
-            # attention-prob dropout is rejected by the SP attend path)
-            r = {"dropout": jax.random.fold_in(
-                key, jax.lax.axis_index("seq")
-            )}
+        r = None if key is None else sp_dropout_rngs(key)
         return msp.apply(
             {"params": params}, codes, ctx, tgt,
             deterministic=deterministic, rngs=r,

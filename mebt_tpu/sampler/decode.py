@@ -242,6 +242,80 @@ def _stage_a_latents(model, params, state: DecodeState, ctx_bucket):
     )
 
 
+def _sample_compact_bucket(
+    model,
+    params,
+    latents,
+    idx,
+    cvalid,
+    r_sample,
+    temperature,
+    top_k,
+    top_p,
+    score_mode: str = "prob",
+    approx_top_k: bool = False,
+):
+    """Dec phase + vocab head + token sampling on a compacted target
+    bucket, on the fastest correct path for the sampling config.
+    Returns (sampled, chosen_p, probs) — probs is None unless the
+    entropy score path needs the full distribution.
+
+    Paths, fastest first:
+      * fused head+gumbel Pallas kernel (no top-k/top-p, prob scores,
+        TPU): the (rows, vocab) logits never touch HBM
+        (ops/head_sample_pallas.py:fused_head_sample). NOTE: top_k
+        decoding stays on the unfused path — the extraction-based fused
+        top-k kernel (fused_head_topk_sample) measured 1.2-1.5x SLOWER
+        in a same-window A/B (PERFORMANCE.md "Tried and rejected").
+      * bf16 top-k fast path: run the head matmul in model dtype and
+        hand the RAW (bf16) logits to sample_topk_tokens — the three
+        O(rows x V) HBM passes (write + TopK read + equality read)
+        halve vs fp32, with bit-identical samples (bf16->fp32 is
+        monotone and exact; see ops/sampling.py:sample_topk_tokens).
+      * dense: stage_b_compact fp32 logits + sample_tokens.
+    """
+    if (
+        top_k is None and top_p is None and score_mode == "prob"
+        and jax.default_backend() == "tpu"
+    ):
+        from mebt_tpu.ops.head_sample_pallas import fused_head_sample
+
+        tokens = model.apply(
+            {"params": params}, latents, idx, cvalid,
+            method="stage_b_tokens",
+        )
+        B, M, D = tokens.shape
+        w = params["transformer"]["head"]["kernel"]
+        seed = jax.random.bits(r_sample, (), jnp.uint32)
+        s_flat, p_flat = fused_head_sample(
+            tokens.reshape(B * M, D), w, seed, temperature=temperature
+        )
+        return s_flat.reshape(B, M).astype(jnp.int32), p_flat.reshape(B, M), None
+    if (
+        top_k is not None and top_p is None and score_mode == "prob"
+        and not approx_top_k
+    ):
+        tokens = model.apply(
+            {"params": params}, latents, idx, cvalid,
+            method="stage_b_tokens",
+        )
+        w = params["transformer"]["head"]["kernel"]
+        logits_raw = tokens @ w.astype(tokens.dtype)
+        sampled, chosen_p = sample_topk_tokens(
+            r_sample, logits_raw, int(top_k), temperature
+        )
+        return sampled, chosen_p, None
+    logits = model.apply(
+        {"params": params}, latents, idx, cvalid,
+        method="stage_b_compact",
+    )
+    return sample_tokens(
+        r_sample, logits, temperature, top_k, top_p,
+        need_probs=(score_mode == "entropy"),
+        approx_top_k=approx_top_k,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -286,71 +360,11 @@ def _staged_confidence_scan(
             )
             latents = _stage_a_latents(model, params, state, ctx_bucket)
             rng, r_sample, r_promote = jax.random.split(state.rng, 3)
-            # NOTE: top_k decoding stays on the unfused
-            # stage_b_compact + sample_topk_tokens path — the
-            # extraction-based fused top-k kernel
-            # (ops/head_sample_pallas.py:fused_head_topk_sample) measured
-            # 1.2-1.5x SLOWER than unfused in a same-window A/B
-            # (PERFORMANCE.md "Tried and rejected")
-            use_fused_head = (
-                top_k is None
-                and top_p is None
-                and score_mode == "prob"
-                and jax.default_backend() == "tpu"
+            sampled, chosen_p, probs = _sample_compact_bucket(
+                model, params, latents, idx, cvalid, r_sample,
+                temperature, top_k, top_p,
+                score_mode=score_mode, approx_top_k=approx_top_k,
             )
-            if use_fused_head:
-                # head matmul + gumbel sampling in one Pallas kernel —
-                # the (rows, vocab) logits never touch HBM
-                from mebt_tpu.ops.head_sample_pallas import (
-                    fused_head_sample,
-                )
-
-                tokens = model.apply(
-                    {"params": params}, latents, idx, cvalid,
-                    method="stage_b_tokens",
-                )
-                D = tokens.shape[-1]
-                w = params["transformer"]["head"]["kernel"]
-                seed = jax.random.bits(r_sample, (), jnp.uint32)
-                s_flat, p_flat = fused_head_sample(
-                    tokens.reshape(B * bucket, D), w, seed,
-                    temperature=temperature,
-                )
-                sampled = s_flat.reshape(B, bucket).astype(jnp.int32)
-                chosen_p = p_flat.reshape(B, bucket)
-                probs = None
-            elif (
-                top_k is not None
-                and top_p is None
-                and score_mode == "prob"
-                and not approx_top_k
-            ):
-                # top-k fast path: run the head matmul in model dtype
-                # and hand the RAW (bf16) logits to sample_topk_tokens —
-                # the three O(rows x V) HBM passes (write + TopK read +
-                # equality read) halve vs fp32, with bit-identical
-                # samples (bf16->fp32 is monotone and exact; see
-                # ops/sampling.py:sample_topk_tokens)
-                tokens = model.apply(
-                    {"params": params}, latents, idx, cvalid,
-                    method="stage_b_tokens",
-                )
-                w = params["transformer"]["head"]["kernel"]
-                logits_raw = tokens @ w.astype(tokens.dtype)
-                sampled, chosen_p = sample_topk_tokens(
-                    r_sample, logits_raw, int(top_k), temperature
-                )
-                probs = None
-            else:
-                logits = model.apply(
-                    {"params": params}, latents, idx, cvalid,
-                    method="stage_b_compact",
-                )
-                sampled, chosen_p, probs = sample_tokens(
-                    r_sample, logits, temperature, top_k, top_p,
-                    need_probs=(score_mode == "entropy"),
-                    approx_top_k=approx_top_k,
-                )
             if score_mode == "entropy":
                 s = jnp.sum(probs - jnp.log(probs + 1e-8), axis=-1)
                 s_max = jnp.max(
@@ -684,12 +698,14 @@ def maskgit_sample(
         valid_mask = jnp.ones((B, N), bool)
     plan_arrays = _plan_arrays(plan)
     if with_noise:
-        S = plan_arrays[0].shape[0]
-        if sample_noise is None:
-            V = model.config.vocab_size
-            sample_noise = jnp.ones((S, B, N, V), jnp.float32)
-        if promote_noise is None:
-            promote_noise = jnp.ones((S, B, N), jnp.float32)
+        if sample_noise is None or promote_noise is None:
+            # a ones-default for the missing stream would silently turn
+            # sampling into greedy argmax (or promotion into
+            # deterministic top-confidence) — and materialize an
+            # (S, B, N, V) ones tensor at real sizes
+            raise ValueError(
+                "sample_noise and promote_noise must be passed together"
+            )
         plan_arrays = plan_arrays + (
             jnp.asarray(sample_noise, jnp.float32),
             jnp.asarray(promote_noise, jnp.float32),
@@ -825,43 +841,10 @@ def _gibbs_scan_compact(
             {"params": params}, state.codes, ctx, method="stage_a"
         )
         rng, r_sample = jax.random.split(state.rng)
-        if (
-            top_k is None and top_p is None
-            and jax.default_backend() == "tpu"
-        ):
-            from mebt_tpu.ops.head_sample_pallas import fused_head_sample
-
-            tokens = model.apply(
-                {"params": params}, latents, idx, cvalid,
-                method="stage_b_tokens",
-            )
-            B, M, D = tokens.shape
-            w = params["transformer"]["head"]["kernel"]
-            seed = jax.random.bits(r_sample, (), jnp.uint32)
-            s_flat, p_flat = fused_head_sample(
-                tokens.reshape(B * M, D), w, seed, temperature=temperature
-            )
-            sampled = s_flat.reshape(B, M).astype(jnp.int32)
-            chosen_p = p_flat.reshape(B, M)
-        elif top_k is not None and top_p is None:
-            # bf16 top-k fast path (see _staged_confidence_scan)
-            tokens = model.apply(
-                {"params": params}, latents, idx, cvalid,
-                method="stage_b_tokens",
-            )
-            w = params["transformer"]["head"]["kernel"]
-            logits_raw = tokens @ w.astype(tokens.dtype)
-            sampled, chosen_p = sample_topk_tokens(
-                r_sample, logits_raw, int(top_k), temperature
-            )
-        else:
-            logits = model.apply(
-                {"params": params}, latents, idx, cvalid,
-                method="stage_b_compact",
-            )
-            sampled, chosen_p, _ = sample_tokens(
-                r_sample, logits, temperature, top_k, top_p
-            )
+        sampled, chosen_p, _ = _sample_compact_bucket(
+            model, params, latents, idx, cvalid, r_sample,
+            temperature, top_k, top_p,
+        )
         codes = state.codes.at[_row_idx(idx), idx].set(sampled, mode="drop")
         chosen = state.chosen_prob.at[_row_idx(idx), idx].set(
             chosen_p, mode="drop"

@@ -282,6 +282,69 @@ class DecodePlan:
         return (N - n_ctx_before).astype(np.int64)
 
 
+def _segment_dp(
+    nt: np.ndarray,
+    N: int,
+    max_segments: int,
+    align: int,
+    ctx_weight: float,
+) -> list[tuple[int, int, int, int]]:
+    """Bounded-segment DP over a non-increasing per-step target-count
+    curve: split into <= max_segments contiguous segments minimizing
+    sum(len * (tgt_bucket + ctx_weight * ctx_bucket)).
+
+    Returns [(start, stop, tgt_bucket, ctx_bucket), ...]. tgt_bucket is
+    the segment's max target count (its first element — nt is
+    non-increasing) rounded up to `align` and capped at N; ctx_bucket
+    covers the context count at the segment's LAST step (context is
+    non-decreasing). With ctx_weight=0 the context term drops out of
+    the objective and adjacent segments merge on tgt_bucket alone.
+    """
+    nt = np.asarray(nt)
+    S = len(nt)
+    if S == 0:
+        return []
+
+    def bucket(v: int) -> int:
+        return int(min(N, -(-int(v) // align) * align))
+
+    # cost[k][i] = best cost of covering steps i.. with k segments left.
+    INF = float("inf")
+    cost = [[INF] * (S + 1) for _ in range(max_segments + 1)]
+    cut = [[S] * (S + 1) for _ in range(max_segments + 1)]
+    for k in range(max_segments + 1):
+        cost[k][S] = 0.0
+    for k in range(1, max_segments + 1):
+        for i in range(S - 1, -1, -1):
+            tb = bucket(nt[i])
+            for j in range(i + 1, S + 1):
+                cb = bucket(max(1, N - int(nt[j - 1])))
+                c = (j - i) * (tb + ctx_weight * cb) + cost[k - 1][j]
+                if c < cost[k][i]:
+                    cost[k][i] = c
+                    cut[k][i] = j
+    segs = []
+    i, k = 0, max_segments
+    while i < S:
+        j = cut[k][i]
+        segs.append(
+            (i, j, bucket(nt[i]), bucket(max(1, N - int(nt[j - 1]))))
+        )
+        i, k = j, k - 1
+    # merge adjacent segments whose buckets coincide (ctx_bucket only
+    # matters when it carries cost)
+    merged = [segs[0]]
+    for s, e, tb, cb in segs[1:]:
+        ps, pe, ptb, pcb = merged[-1]
+        if tb == ptb and (ctx_weight == 0.0 or cb == pcb):
+            # context is non-decreasing, so the later cb covers the
+            # merged segment's last step
+            merged[-1] = (ps, e, tb, cb)
+        else:
+            merged.append((s, e, tb, cb))
+    return merged
+
+
 def segment_counts(
     nt: np.ndarray,
     N: int,
@@ -295,44 +358,10 @@ def segment_counts(
     target width for steps [start, stop) — the segment's max count
     rounded up to `align` and capped at N.
     """
-    nt = np.asarray(nt)
-    S = len(nt)
-    if S == 0:
-        return []
-
-    def bucket(v: int) -> int:
-        return int(min(N, -(-int(v) // align) * align))
-
-    # nt is non-increasing, so a segment's max is its first element.
-    # cost[k][i] = best cost of covering steps i.. with k segments left.
-    INF = float("inf")
-    cost = [[INF] * (S + 1) for _ in range(max_segments + 1)]
-    cut = [[S] * (S + 1) for _ in range(max_segments + 1)]
-    for k in range(max_segments + 1):
-        cost[k][S] = 0.0
-    for k in range(1, max_segments + 1):
-        for i in range(S - 1, -1, -1):
-            b = bucket(nt[i])
-            for j in range(i + 1, S + 1):
-                c = (j - i) * b + cost[k - 1][j]
-                if c < cost[k][i]:
-                    cost[k][i] = c
-                    cut[k][i] = j
-    segs = []
-    i, k = 0, max_segments
-    while i < S:
-        j = cut[k][i]
-        segs.append((i, j, bucket(nt[i])))
-        i, k = j, k - 1
-    # merge adjacent segments that ended up with the same bucket
-    merged = [segs[0]]
-    for s, e, b in segs[1:]:
-        ps, pe, pb = merged[-1]
-        if b == pb:
-            merged[-1] = (ps, e, b)
-        else:
-            merged.append((s, e, b))
-    return merged
+    return [
+        (s, e, tb)
+        for s, e, tb, _ in _segment_dp(nt, N, max_segments, align, 0.0)
+    ]
 
 
 def plan_segments(
@@ -366,44 +395,9 @@ def plan_segments_joint(
     ctx_bucket covers the context count at the segment's LAST step
     (targets are non-increasing, context non-decreasing).
     """
-    nt = np.asarray(plan.n_targets_before(N))
-    S = len(nt)
-    if S == 0:
-        return []
-
-    def bucket(v: int) -> int:
-        return int(min(N, -(-int(v) // align) * align))
-
-    INF = float("inf")
-    cost = [[INF] * (S + 1) for _ in range(max_segments + 1)]
-    cut = [[S] * (S + 1) for _ in range(max_segments + 1)]
-    for k in range(max_segments + 1):
-        cost[k][S] = 0.0
-    for k in range(1, max_segments + 1):
-        for i in range(S - 1, -1, -1):
-            tb = bucket(nt[i])
-            for j in range(i + 1, S + 1):
-                cb = bucket(max(1, N - int(nt[j - 1])))
-                c = (j - i) * (tb + ctx_weight * cb) + cost[k - 1][j]
-                if c < cost[k][i]:
-                    cost[k][i] = c
-                    cut[k][i] = j
-    segs = []
-    i, k = 0, max_segments
-    while i < S:
-        j = cut[k][i]
-        segs.append(
-            (i, j, bucket(nt[i]), bucket(max(1, N - int(nt[j - 1]))))
-        )
-        i, k = j, k - 1
-    merged = [segs[0]]
-    for s, e, tb, cb in segs[1:]:
-        ps, pe, ptb, pcb = merged[-1]
-        if tb == ptb and cb == pcb:
-            merged[-1] = (ps, e, tb, cb)
-        else:
-            merged.append((s, e, tb, cb))
-    return merged
+    return _segment_dp(
+        plan.n_targets_before(N), N, max_segments, align, ctx_weight
+    )
 
 
 def maskgit_plan(

@@ -319,12 +319,17 @@ class MeBTTrainer:
         step = int(jax.device_get(state.step))
         # resume-faithful data order: a restored run re-enters the epoch
         # it left off in instead of replaying the epoch-0 shuffle (the
-        # reference restores the Lightning loop state)
+        # reference restores the Lightning loop state), and skips the
+        # batches of that epoch it already trained on — without the skip
+        # a mid-epoch checkpoint (ckpt_every is generally not a multiple
+        # of len(loader)) would double-train the epoch head and desync
+        # the epoch counter from the step count forever after
         try:
             steps_per_epoch = len(train_loader)
         except TypeError:
             steps_per_epoch = 0
         epoch = step // steps_per_epoch if steps_per_epoch else 0
+        skip = step % steps_per_epoch if steps_per_epoch else 0
         t_last = time.time()
 
         n_data = self.mesh.shape["data"]
@@ -358,6 +363,9 @@ class MeBTTrainer:
         while step < max_steps:
             train_loader.set_epoch(epoch)
             it = iter(train_loader)
+            for _ in range(skip):  # mid-epoch resume: already trained
+                next(it, None)
+            skip = 0
             next_dev = None
             while step < max_steps:
                 if next_dev is None:

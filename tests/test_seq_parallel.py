@@ -124,3 +124,54 @@ def test_sp_dropout_runs_and_differs_across_shards(setup):
     det = sp_forward(m2, params, codes, ctx, tgt, mesh)
     assert np.isfinite(np.asarray(out)).all()
     assert not np.allclose(np.asarray(out), np.asarray(det))
+
+
+def test_sp_dropout_latent_stream_coherent_across_shards(setup):
+    """The latent stream is replicated over 'seq'; under training
+    dropout every seq shard must apply IDENTICAL masks to it (the
+    'dropout_lat' stream folds only the data index) or the
+    partial-softmax merge sums attention partials belonging to
+    different query tensors. Asserts the final latent-updating block's
+    output is bit-identical on all seq shards."""
+    import dataclasses
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from mebt_tpu.parallel.sp import sp_dropout_rngs, sp_model
+
+    model, params, codes, ctx, tgt = setup
+    cfg = dataclasses.replace(
+        model.config, resid_pdrop=0.5, embd_pdrop=0.5
+    )
+    msp = sp_model(MeBT(cfg))
+    mesh = make_mesh(data=2, model=1, seq=4)
+    pspecs = jax.tree.map(lambda _: P(), params)
+    key = jax.random.PRNGKey(11)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pspecs, P("data", "seq"), P("data", "seq"),
+                  P("data", "seq")),
+        out_specs=P("seq", "data"),
+        check_vma=False,
+    )
+    def latents_per_shard(params, codes, c, t):
+        _, inter = msp.apply(
+            {"params": params}, codes, c, t,
+            deterministic=False, rngs=sp_dropout_rngs(key),
+            capture_intermediates=True, mutable=["intermediates"],
+        )
+        # block_4 is lt2l — the last latent-updating block in MODES;
+        # its __call__ output is (latents, tokens)
+        lat = inter["intermediates"]["transformer"]["block_4"][
+            "__call__"
+        ][0][0]
+        return lat[None]
+
+    out = np.asarray(latents_per_shard(params, codes, ctx, tgt))
+    assert out.shape[0] == 4
+    for s in range(1, 4):
+        np.testing.assert_array_equal(out[s], out[0])

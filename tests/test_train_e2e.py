@@ -274,3 +274,39 @@ def test_resume_reenters_epoch(tiny_setup, tmp_path):
     tr2.fit(loader2, max_steps=5)
     # restored at micro-step 4 with 3 steps/epoch -> re-enters epoch 1
     assert loader2.epochs[0] == 1
+
+
+def test_resume_skips_already_trained_batches(tiny_setup, tmp_path):
+    """A mid-epoch resume must not re-train the head of the epoch it
+    re-enters: at micro-step 4 with 3 steps/epoch, epoch 1's batch 0 was
+    already consumed before the save, so the resumed run starts at
+    batch 1 (the reference restores the exact Lightning loop state)."""
+    from mebt_tpu.train import trainer as trainer_mod
+
+    _, cfg_path = tiny_setup
+    logdir = tmp_path / "resume_skip"
+    batches = _vtokens_batches(3)
+    for i, b in enumerate(batches):
+        b["codes"][0, 0] = i  # batch-identity marker
+
+    tr = _vtokens_trainer(cfg_path, logdir)
+    tr.fit(_FakeLoader(batches), max_steps=4)  # epoch 0 full + epoch 1 batch 0
+
+    seen = []
+    orig = trainer_mod.MeBTTrainer.prepare_batch
+
+    def spy(self, batch, step):
+        seen.append(int(batch["codes"][0, 0]))
+        return orig(self, batch, step)
+
+    trainer_mod.MeBTTrainer.prepare_batch = spy
+    try:
+        tr2 = _vtokens_trainer(cfg_path, logdir)
+        loader2 = _FakeLoader(batches)
+        tr2.fit(loader2, max_steps=6)
+    finally:
+        trainer_mod.MeBTTrainer.prepare_batch = orig
+
+    assert loader2.epochs[0] == 1
+    # steps 4, 5 consume epoch 1's batches 1, 2 — NOT a replayed batch 0
+    assert seen[:2] == [1, 2]
