@@ -52,7 +52,11 @@ class CodebookState:
         return cls(
             embeddings=emb,
             cluster_size=jnp.zeros((n_codes,), jnp.float32),
-            z_avg=emb,
+            # distinct buffer: embeddings and z_avg live in the same
+            # donated train-state pytree, and donating one buffer twice
+            # is a runtime error (jit outputs never alias, so only this
+            # host-side init needs the copy)
+            z_avg=jnp.array(emb, copy=True),
         )
 
 

@@ -115,3 +115,22 @@ def test_vqgan_roundtrip_export():
     assert codes.shape == (1, 2, 4, 4)
     recon = vq.decode(codes)
     assert recon.shape == (1, 3, 4, 16, 16)
+
+
+def test_vqgan_step_runs_with_buffer_donation():
+    """The initial codebook state must not alias embeddings and z_avg:
+    the fused step donates the whole train-state pytree on real
+    backends (the axon tunnel gates donation off, which hid this), and
+    donating one buffer twice is a runtime INVALID_ARGUMENT."""
+    trainer = _tiny_trainer(disc_start=10_000)
+    rng = np.random.default_rng(3)
+    video = rng.uniform(-0.5, 0.5, size=(1, 4, 16, 16, 3)).astype(np.float32)
+    state = trainer.init_state(video)
+    assert (
+        state.codebook.embeddings.unsafe_buffer_pointer()
+        != state.codebook.z_avg.unsafe_buffer_pointer()
+    )
+    step = jax.jit(trainer.make_step(), donate_argnums=(0,))
+    state, metrics = step(state, jnp.asarray(video))
+    state, metrics = step(state, jnp.asarray(video))
+    assert np.isfinite(float(metrics["recon_loss"]))
