@@ -55,21 +55,25 @@ def chip_probe():
     cross-round deltas can then separate throttle from regression."""
     x = jax.random.normal(jax.random.key(0), (4096, 4096), jnp.bfloat16)
 
+    # 128 chained matmuls = 17.6 TFLOP per call: big enough that the
+    # ~30 ms tunnel dispatch + scalar fetch is <5% of the measurement
+    # even on a healthy chip (a 16-iteration probe was itself
+    # dispatch-dominated and under-read the chip by ~1.7x)
     @jax.jit
     def probe_fn(x):
         def body(y, _):
             return (y @ x) * (1.0 / 64.0), None
 
-        y, _ = jax.lax.scan(body, x, None, length=16)
+        y, _ = jax.lax.scan(body, x, None, length=128)
         return jnp.sum(y.astype(jnp.float32))
 
     np.asarray(probe_fn(x))  # compile + warm
-    reps = 3
+    reps = 2
     t0 = time.perf_counter()
     for _ in range(reps):
         np.asarray(probe_fn(x))
     dt = (time.perf_counter() - t0) / reps
-    flops = 16 * 2 * 4096**3
+    flops = 128 * 2 * 4096**3
     return round(flops / dt / 1e12, 1)
 
 
@@ -271,8 +275,32 @@ def main():
     signal.signal(signal.SIGALRM, _die)
     signal.alarm(int(os.environ.get("MEBT_BENCH_TIMEOUT", "3300")))
 
+    from mebt_tpu.sampler.mask_schedule import bootstrap_plan, maskgit_plan
+    from mebt_tpu.utils.flops import plan_macs, tflop_per_video
+
+    # matmul TFLOP one video pays under the production segmentation
+    # (mebt_tpu/utils/flops.py; full report: scripts/flops_decode.py) —
+    # value / (probe / tflop_per_video) = MXU utilization relative to
+    # what the chip demonstrably sustains in the same window
+    fl16 = tflop_per_video(
+        plan_macs(
+            maskgit_plan(1024, 32, schedule="cosine",
+                         ctemp_schedule="linear"),
+            1024, D=1024, L=256, V=16384,
+        )
+    )
+    b = plan_macs(bootstrap_plan(8192, 64), 8192, D=1024, L=256, V=16384,
+                  promote_first=True)
+    m = plan_macs(
+        maskgit_plan(8192, 32, schedule="cosine", ctemp_schedule="linear",
+                     n_ctx_init=64),
+        8192, D=1024, L=256, V=16384,
+    )
+    fl128 = tflop_per_video(b) + tflop_per_video(m)
+
     probe = chip_probe()
     v16, p16 = bench_16f()
+    sol16 = probe / fl16
     print(
         json.dumps(
             {
@@ -282,12 +310,16 @@ def main():
                 "vs_baseline": round(v16 / BASELINE_16F_VIDEOS_PER_SEC, 3),
                 "baseline_estimated": True,
                 "chip_probe_tflops_bf16": probe,
+                "tflop_per_video": round(fl16, 2),
+                "sol_videos_per_sec_at_probe": round(sol16, 2),
+                "mxu_utilization_vs_probe": round(v16 / sol16, 3),
                 "phases": p16,
             }
         ),
         flush=True,
     )
     v128, p128 = bench_128f()
+    sol128 = probe / fl128
     print(
         json.dumps(
             {
@@ -298,6 +330,9 @@ def main():
                 "baseline_estimated": True,
                 "chip_probe_tflops_bf16": probe,
                 "chip_probe_tflops_bf16_post": chip_probe(),
+                "tflop_per_video": round(fl128, 2),
+                "sol_videos_per_sec_at_probe": round(sol128, 2),
+                "mxu_utilization_vs_probe": round(v128 / sol128, 3),
                 "phases": p128,
             }
         ),

@@ -1,0 +1,93 @@
+"""Matmul-FLOP accounting for the staged MaskGIT decode.
+
+Used by bench.py to turn a measured videos/s into an MXU-utilization
+ratio against the same-window chip probe, and by
+scripts/flops_decode.py for the full speed-of-light report. Analytic
+per-block MAC counts (validated against XLA cost_analysis to within
+the ~10% VPU mass XLA also counts — see scripts/flops_decode.py
+--xla_check):
+
+  latent_enc   10*D^2*L + 2*D^2*C + 2*L*C*D   (latents query ctx keys)
+  latent_self  12*D^2*L            + 2*L*L*D
+  latent_dec   10*D^2*M + 2*D^2*L + 2*M*L*D   (tokens query latents)
+  lt2l         10*D^2*L + 2*D^2*M + 2*L*M*D   (latents query tokens)
+  head         D*V*M
+
+with D = n_embd, L = sos_emb latents, C/M = context/target buckets,
+V = vocab; Q/out/MLP projections = 10*D^2 per query token, K/V = 2*D^2
+per key token, attention = 2*q*k*D. FLOPs = 2*MACs. LayerNorms,
+embeddings, sampling, and promotion are VPU/HBM work with negligible
+FLOP mass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mebt_tpu.sampler.mask_schedule import DecodePlan, plan_segments_joint
+
+CANONICAL_MODES = (
+    ("latent_enc", "latent_self") * 6 + ("latent_enc",)
+    + ("latent_dec", "lt2l") * 5 + ("latent_dec",)
+)
+
+
+def step_macs(
+    C: int, M: int, *, D: int, L: int, V: int, modes=CANONICAL_MODES
+) -> dict:
+    """Per-batch-item MACs for one staged decode step at context
+    bucket C / target bucket M."""
+    n = {m: modes.count(m) for m in
+         ("latent_enc", "latent_self", "latent_dec", "lt2l")}
+    enc = n["latent_enc"] * (10 * D * D * L + 2 * D * D * C + 2 * L * C * D)
+    enc += n["latent_self"] * (12 * D * D * L + 2 * L * L * D)
+    dec = n["latent_dec"] * (10 * D * D * M + 2 * D * D * L + 2 * M * L * D)
+    dec += n["lt2l"] * (10 * D * D * L + 2 * D * D * M + 2 * L * M * D)
+    head = D * V * M
+    return {"enc": enc, "dec": dec, "head": head}
+
+
+def plan_macs(
+    plan: DecodePlan,
+    N: int,
+    *,
+    D: int,
+    L: int,
+    V: int,
+    modes=CANONICAL_MODES,
+    max_segments: int = 6,
+    align: int = 128,
+    promote_first: bool = False,
+) -> dict:
+    """Total per-batch-item MACs to run `plan` through the staged scan
+    with the production joint segmentation. `promote_first` models the
+    random/bootstrap fast path (logits only at the n_new bucket).
+    Returns {'enc','dec','head'} MACs plus 'segments' and the
+    zero-alignment 'ideal' counts."""
+    segs = plan_segments_joint(plan, N, max_segments=max_segments,
+                               align=align)
+    nt = np.asarray(plan.n_targets_before(N))
+    n_new = np.asarray(plan.n_new)
+    total = {"enc": 0, "dec": 0, "head": 0}
+    ideal = {"enc": 0, "dec": 0, "head": 0}
+    for start, stop, tb, cb in segs:
+        for s in range(start, stop):
+            M = tb
+            if promote_first:
+                M = int(min(N, -(-max(int(n_new[s]), 1) // align) * align))
+            got = step_macs(cb, M, D=D, L=L, V=V, modes=modes)
+            want = step_macs(
+                int(N - nt[s]), int(n_new[s] if promote_first else nt[s]),
+                D=D, L=L, V=V, modes=modes,
+            )
+            for k in total:
+                total[k] += got[k]
+                ideal[k] += want[k]
+    total["segments"] = segs
+    total["ideal"] = ideal
+    return total
+
+
+def tflop_per_video(macs: dict) -> float:
+    """FLOPs (TFLOP) one generated video pays in transformer matmuls."""
+    return 2 * sum(macs[k] for k in ("enc", "dec", "head")) / 1e12

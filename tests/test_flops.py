@@ -1,0 +1,63 @@
+"""Sanity checks for the decode FLOP accounting (utils/flops.py) that
+bench.py uses to emit MXU-utilization ratios."""
+
+import numpy as np
+
+from mebt_tpu.sampler.mask_schedule import bootstrap_plan, maskgit_plan
+from mebt_tpu.utils.flops import (
+    CANONICAL_MODES,
+    plan_macs,
+    step_macs,
+    tflop_per_video,
+)
+
+
+def test_canonical_modes_shape():
+    assert len(CANONICAL_MODES) == 24
+    assert CANONICAL_MODES.count("latent_enc") == 7
+    assert CANONICAL_MODES.count("latent_self") == 6
+    assert CANONICAL_MODES.count("latent_dec") == 6
+    assert CANONICAL_MODES.count("lt2l") == 5
+
+
+def test_step_macs_monotone_in_buckets():
+    a = step_macs(128, 128, D=1024, L=256, V=16384)
+    b = step_macs(256, 128, D=1024, L=256, V=16384)
+    c = step_macs(128, 256, D=1024, L=256, V=16384)
+    assert b["enc"] > a["enc"] and b["dec"] == a["dec"]
+    assert c["dec"] > a["dec"] and c["head"] == 2 * a["head"]
+
+
+def test_plan_macs_bucket_overhead_bounded():
+    plan = maskgit_plan(1024, 32, schedule="cosine",
+                        ctemp_schedule="linear")
+    macs = plan_macs(plan, 1024, D=1024, L=256, V=16384)
+    total = sum(macs[k] for k in ("enc", "dec", "head"))
+    ideal = sum(macs["ideal"].values())
+    assert ideal <= total <= 1.3 * ideal  # alignment waste is bounded
+    # flagship numbers stay in a plausible band (regression guard for
+    # the segmentation: a planner change that blows up bucket waste
+    # shows up here before it shows up in the bench)
+    assert 7.0 < tflop_per_video(macs) < 10.0
+
+
+def test_promote_first_is_much_cheaper():
+    bplan = bootstrap_plan(8192, 64)
+    fast = plan_macs(bplan, 8192, D=1024, L=256, V=16384,
+                     promote_first=True)
+    slow = plan_macs(bplan, 8192, D=1024, L=256, V=16384)
+    assert tflop_per_video(fast) < 0.25 * tflop_per_video(slow)
+
+
+def test_segments_cover_all_steps():
+    plan = maskgit_plan(8192, 32, schedule="cosine",
+                        ctemp_schedule="linear", n_ctx_init=64)
+    macs = plan_macs(plan, 8192, D=1024, L=256, V=16384)
+    segs = macs["segments"]
+    assert segs[0][0] == 0 and segs[-1][1] == 32
+    covered = sum(e - s for s, e, _, _ in segs)
+    assert covered == 32
+    nt = np.asarray(plan.n_targets_before(8192))
+    for s, e, tb, cb in segs:
+        assert tb >= nt[s:e].max()
+        assert cb >= (8192 - nt[s:e]).max() or cb == 8192
