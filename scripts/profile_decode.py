@@ -264,11 +264,91 @@ def profile_128f():
     timeit(dec, codes_l, reps=2, label="vqgan decode")
 
 
+def profile_util(recipe: str, probe: float):
+    """Per-SEGMENT utilization of the production staged scan: time each
+    joint segment at its real (ctx_bucket, tgt_bucket), convert to
+    achieved TFLOP/s via utils/flops.py, and report the fraction of the
+    same-window probe. This is the 'where does the non-matmul time go'
+    view the 16f/128f attacks steer by."""
+    from mebt_tpu.sampler.decode import DecodeState, _staged_confidence_scan
+    from mebt_tpu.sampler.decode import _ctx_weight
+    from mebt_tpu.sampler.mask_schedule import (
+        maskgit_plan, plan_segments_joint,
+    )
+    from mebt_tpu.utils.flops import step_macs
+
+    if recipe == "16f":
+        B, shape, top_k, ctemp = 16, (4, 16, 16), None, 8.0
+        plan_kw = {}
+    else:
+        B, shape, top_k, ctemp = 8, (32, 16, 16), 32, 4.0
+        plan_kw = {"n_ctx_init": 64}
+    model, params, _ = build(shape)
+    N = model.config.seq_len
+    D, L, V = model.config.n_embd, model.config.sos_emb, (
+        model.config.vocab_size
+    )
+    plan = maskgit_plan(N, 32, "cosine", "linear", **plan_kw)
+    segments = plan_segments_joint(
+        plan, N, ctx_weight=_ctx_weight(model.config)
+    )
+    n_tgt = plan.n_targets_before(N)
+    print(f"[{recipe} util] B={B} N={N} probe={probe} TFLOP/s")
+    total_t, total_fl = 0.0, 0.0
+    for start, stop, bucket, ctx_bucket in segments:
+        n_ctx = int(N - n_tgt[start])
+        ctx0 = np.zeros((B, N), bool)
+        ctx0[:, :n_ctx] = True
+        state = DecodeState.create(
+            _key(start), B, N, jnp.zeros((B, N), jnp.int32),
+            jnp.asarray(ctx0),
+        )
+        xs = (
+            jnp.asarray(plan.do_step[start:stop]),
+            jnp.asarray(plan.n_new[start:stop]),
+            jnp.asarray(n_tgt[start:stop].astype(np.int32)),
+            jnp.asarray(plan.ctemp_scale[start:stop]),
+        )
+
+        def run(state, xs):
+            out, _ = _staged_confidence_scan(
+                model, params, state, xs,
+                bucket=bucket, ctx_bucket=ctx_bucket,
+                temperature=1.0, top_k=top_k, top_p=None,
+                context_temperature=ctemp, score_mode="prob",
+                collect_history=False, approx_top_k=False,
+            )
+            return out.codes
+
+        steps = stop - start
+        dt = timeit(
+            run, state, xs, reps=3,
+            label=f"seg[{start}:{stop}) tgt={bucket} ctx={ctx_bucket}",
+        )
+        fl = 2 * B * steps * sum(
+            step_macs(ctx_bucket, bucket, D=D, L=L, V=V).values()
+        )
+        ach = fl / dt / 1e12
+        total_t += dt
+        total_fl += fl
+        print(f"    -> {dt/steps*1e3:7.2f} ms/step, {ach:6.1f} TFLOP/s "
+              f"achieved = {100*ach/probe:4.1f}% of probe")
+    ach = total_fl / total_t / 1e12
+    print(f"  all segments: {total_t*1e3:,.0f} ms, {ach:.1f} TFLOP/s "
+          f"= {100*ach/probe:.1f}% of probe, "
+          f"{B/total_t:.2f} videos/s (sampling only)")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
-    print(f"probe: {chip_probe()} TFLOP/s bf16")
+    probe = chip_probe()
+    print(f"probe: {probe} TFLOP/s bf16")
     if which in ("16f", "both"):
         profile_16f()
     if which in ("128f", "both"):
         profile_128f()
+    if which in ("util16f", "util"):
+        profile_util("16f", probe)
+    if which in ("util128f", "util"):
+        profile_util("128f", probe)
     print(f"probe(post): {chip_probe()} TFLOP/s bf16")
