@@ -101,6 +101,7 @@ def _plan_arrays(plan: DecodePlan):
         "collect_history",
         "approx_top_k",
         "with_noise",
+        "all_live",
     ),
 )
 def _maskgit_scan(
@@ -119,6 +120,7 @@ def _maskgit_scan(
     collect_history: bool = False,
     approx_top_k: bool = False,
     with_noise: bool = False,
+    all_live: bool = False,
 ) -> DecodeState:
     def step(state: DecodeState, xs):
         if with_noise:
@@ -184,7 +186,10 @@ def _maskgit_scan(
                 rng=rng,
             )
 
-        new_state = jax.lax.cond(do_step, run, lambda s: s, state)
+        new_state = (
+            run(state) if all_live
+            else jax.lax.cond(do_step, run, lambda s: s, state)
+        )
         ys = (
             (new_state.codes, new_state.ctx_mask)
             if collect_history
@@ -329,6 +334,7 @@ def _sample_compact_bucket(
         "score_mode",
         "collect_history",
         "approx_top_k",
+        "all_live",
     ),
 )
 def _staged_confidence_scan(
@@ -346,6 +352,7 @@ def _staged_confidence_scan(
     score_mode: str,
     collect_history: bool,
     approx_top_k: bool,
+    all_live: bool = False,
 ):
     B = state.codes.shape[0]
 
@@ -397,7 +404,13 @@ def _staged_confidence_scan(
                 rng=rng,
             )
 
-        new_state = jax.lax.cond(do_step, run, lambda s: s, state)
+        # all_live (static): the host knows every plan step in this
+        # segment executes, so skip the lax.cond fork (the skip branch
+        # exists only for the reference's n_masked > NT skip-step case)
+        new_state = (
+            run(state) if all_live
+            else jax.lax.cond(do_step, run, lambda s: s, state)
+        )
         ys = (
             (new_state.codes, new_state.ctx_mask)
             if collect_history
@@ -419,6 +432,7 @@ def _staged_confidence_scan(
         "top_p",
         "collect_history",
         "approx_top_k",
+        "all_live",
     ),
 )
 def _staged_random_scan(
@@ -434,6 +448,7 @@ def _staged_random_scan(
     top_p: float | None,
     collect_history: bool,
     approx_top_k: bool,
+    all_live: bool = False,
 ):
     """random/bootstrap strategies: promotion ignores confidence
     (reference mask_sampler.py:206-208), so the promoted set can be
@@ -499,7 +514,10 @@ def _staged_random_scan(
                 rng=rng,
             )
 
-        new_state = jax.lax.cond(do_step, run, lambda s: s, state)
+        new_state = (
+            run(state) if all_live
+            else jax.lax.cond(do_step, run, lambda s: s, state)
+        )
         ys = (
             (new_state.codes, new_state.ctx_mask)
             if collect_history
@@ -544,6 +562,7 @@ def _staged_sample(
         state, history = _staged_random_scan(
             model, params, state, xs,
             bucket=bucket, ctx_bucket=ctx_bucket,
+            all_live=bool(np.all(plan.do_step)),
             temperature=temperature, top_k=top_k,
             top_p=top_p, collect_history=collect_history,
             approx_top_k=approx_top_k,
@@ -578,6 +597,7 @@ def _staged_sample(
             state, history = _staged_confidence_scan(
                 model, params, state, xs,
                 bucket=bucket, ctx_bucket=ctx_bucket,
+                all_live=bool(np.all(plan.do_step[start:stop])),
                 temperature=temperature, top_k=top_k,
                 top_p=top_p, context_temperature=context_temperature,
                 score_mode=score_mode, collect_history=collect_history,
@@ -725,6 +745,7 @@ def maskgit_sample(
         collect_history=bool(return_history),
         approx_top_k=bool(approx_top_k),
         with_noise=with_noise,
+        all_live=bool(np.all(plan.do_step)),
     )
 
 
