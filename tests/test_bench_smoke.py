@@ -1,0 +1,78 @@
+"""bench.py is the driver's scoring entry point: if it drifts from the
+library APIs it silently records a zero for the round. Smoke both
+recipe functions end-to-end on tiny models (CPU) by patching
+bench.build; the JSON assembly math is exercised via the same flops
+helpers bench.main uses."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def tiny_build(monkeypatch):
+    import bench
+    from mebt_tpu.models.mebt import MeBT, MeBTConfig
+    from mebt_tpu.models.vqgan import VQGAN, VQGANConfig
+    from mebt_tpu.utils.flops import CANONICAL_MODES
+
+    def build(latent_shape=(4, 16, 16)):
+        # ignore the requested shape: tiny everything; the canvas must
+        # still hold the 128f recipe's 64-step bootstrap (N > 64)
+        shape = (2, 8, 8)
+        cfg = MeBTConfig(
+            vocab_size=64, block_size=int(np.prod(shape)), n_layer=4,
+            n_head=2, n_embd=32, sos_emb=8,
+            mode=tuple(CANONICAL_MODES[:2] + CANONICAL_MODES[-2:]),
+            latent_shape=shape, dtype=jnp.float32,
+        )
+        model = MeBT(cfg)
+        params = bench._random_params(model, cfg)
+        vq_cfg = VQGANConfig(
+            embedding_dim=8, n_codes=64, n_hiddens=8, downsample=(2, 4, 4),
+        )
+        vqgan = VQGAN.create(
+            jax.random.key(2), vq_cfg, example_shape=(1, 4, 16, 16, 3)
+        )
+        return model, params, vqgan
+
+    monkeypatch.setattr(bench, "build", build)
+    return bench
+
+
+def test_bench_16f_smoke(tiny_build):
+    v, phases = tiny_build.bench_16f()
+    assert v > 0
+    assert set(phases) == {"sample_ms", "decode_ms"}
+    assert all(p > 0 for p in phases.values())
+
+
+def test_bench_128f_smoke(tiny_build):
+    v, phases = tiny_build.bench_128f()
+    assert v > 0
+    assert set(phases) == {"bootstrap_ms", "confidence_ms", "decode_ms"}
+
+
+def test_bench_flop_constants_assemble():
+    """The exact plan/flops wiring bench.main runs before any TPU work."""
+    from mebt_tpu.sampler.mask_schedule import bootstrap_plan, maskgit_plan
+    from mebt_tpu.utils.flops import plan_macs, tflop_per_video
+
+    fl16 = tflop_per_video(
+        plan_macs(
+            maskgit_plan(1024, 32, schedule="cosine",
+                         ctemp_schedule="linear"),
+            1024, D=1024, L=256, V=16384,
+        )
+    )
+    b = plan_macs(bootstrap_plan(8192, 64), 8192, D=1024, L=256,
+                  V=16384, promote_first=True)
+    m = plan_macs(
+        maskgit_plan(8192, 32, schedule="cosine", ctemp_schedule="linear",
+                     n_ctx_init=64),
+        8192, D=1024, L=256, V=16384,
+    )
+    fl128 = tflop_per_video(b) + tflop_per_video(m)
+    assert 7.0 < fl16 < 10.0
+    assert 45.0 < fl128 < 60.0
