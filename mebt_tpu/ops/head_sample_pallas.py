@@ -228,6 +228,231 @@ def _head_topk_sample_kernel(
         prob_ref[:, pl.ds(row0, tr)] = jnp.exp(wl - lse).reshape(1, tr)
 
 
+def _head_topk_sample_v2_kernel(
+    seed_ref, x_ref, w_ref,
+    sample_ref, prob_ref, ovf_ref,
+    bufv_ref, bufi_ref, rem_ref,
+    *, inv_temp: float, k: int, m: int, valid_v: int | None,
+):
+    """Fixed-unroll streaming top-k (v2): no data-dependent control flow.
+
+    v1's per-chunk candidate extraction ran a `while` loop with a scalar
+    condition per iteration, which defeats Mosaic's chunk-grid DMA
+    pipelining (PERFORMANCE.md "Tried and rejected"). v2 replaces it
+    with straight-line vectorized code:
+
+      * per vocab chunk, extract the chunk's top-`m` (value, index)
+        pairs with m unrolled masked-max passes (m is static);
+      * rank-merge those m candidates into the running sorted top-k
+        buffer with an unrolled all-pairs rank pass (ranks are unique
+        because ties break on the global index);
+      * keep a per-row running max of each chunk's REMAINING (not
+        extracted) values. At the end, `overflow = remaining_max >
+        kth_value` detects exactly the rows where some chunk held more
+        than m of the row's true top-k (strict >, so kth-value ties
+        don't flag) — the caller falls back to the unfused exact path
+        for that batch via lax.cond.
+      * noise is drawn only for the k survivors at the last chunk
+        (v1 perturbed every logit — the full-vocab PRNG + log work is
+        most of the fused kernels' non-matmul cost).
+
+    With vocab uniformly ~spread top-k (VQ code ids carry no order),
+    the count of top-k members per chunk is ~Poisson(k*vc/V); m is
+    chosen so the per-step fallback probability is <~1%.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    tr = x_ref.shape[0]
+    vc = w_ref.shape[1]
+    row0 = i * tr
+
+    @pl.when(j == 0)
+    def _():
+        bufv_ref[:] = jnp.full((tr, k), -1e30, jnp.float32)
+        bufi_ref[:] = jnp.zeros((tr, k), jnp.int32)
+        rem_ref[:] = jnp.full((tr, 1), -1e30, jnp.float32)
+
+    l = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_temp  # (TR, VC) scaled logits
+    col = jax.lax.broadcasted_iota(jnp.int32, (tr, vc), 1)
+    if valid_v is not None:
+        l = jnp.where(col + j * vc < valid_v, l, -1e30)
+
+    # top-m of the chunk: m unrolled (max, first-index, mask) passes.
+    # Ties take the lowest column (masked-min over ids), and masking is
+    # by column — equal values are extracted one per pass, not together.
+    work = l
+    cand_v = []
+    cand_i = []
+    for _ in range(m):
+        v = jnp.max(work, axis=1, keepdims=True)  # (TR, 1)
+        idx = jnp.min(
+            jnp.where(work == v, col, jnp.int32(2**30)),
+            axis=1, keepdims=True,
+        )
+        cand_v.append(v)
+        cand_i.append(idx + j * vc)
+        work = jnp.where(col == idx, -1e30, work)
+    rem_ref[:] = jnp.maximum(
+        rem_ref[:], jnp.max(work, axis=1, keepdims=True)
+    )
+    cv = jnp.concatenate(cand_v, axis=1)  # (TR, m) descending
+    ci = jnp.concatenate(cand_i, axis=1).astype(jnp.int32)
+
+    # rank-merge candidates into the buffer. rank(e) = #elements
+    # strictly ahead of e under (value desc, global index asc) — unique
+    # because indices are unique; dummy (-1e30, 0) entries may collide
+    # but only ever scatter -1e30 over -1e30.
+    allv = jnp.concatenate([bufv_ref[:], cv], axis=1)  # (TR, k+m)
+    alli = jnp.concatenate([bufi_ref[:], ci], axis=1)
+    rank = jnp.zeros((tr, k + m), jnp.int32)
+    for t in range(k + m):
+        vt = allv[:, t:t + 1]
+        it = alli[:, t:t + 1]
+        ahead = (vt > allv) | ((vt == allv) & (it < alli))
+        rank = rank + ahead.astype(jnp.int32)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (tr, k), 1)
+    nbv = jnp.full((tr, k), -1e30, jnp.float32)
+    nbi = jnp.zeros((tr, k), jnp.int32)
+    for t in range(k + m):
+        put = slot == rank[:, t:t + 1]  # one-hot when rank < k
+        nbv = jnp.where(put, allv[:, t:t + 1], nbv)
+        nbi = jnp.where(put, alli[:, t:t + 1], nbi)
+    bufv_ref[:] = nbv  # sorted descending by construction
+    bufi_ref[:] = nbi
+
+    @pl.when(j == nj - 1)
+    def _():
+        bv = bufv_ref[:]
+        bi = bufi_ref[:]
+        tau = bv[:, k - 1:k]
+        ovf = (rem_ref[:] > tau).astype(jnp.int32)
+        # Exp(1) noise for the k survivors only. Draw >=128 lanes
+        # (sub-128 PRNG lane dims produce replicated noise) and slice.
+        pltpu.prng_seed(seed_ref[0] + i)
+        nl = max(128, k)
+        bits = pltpu.bitcast(pltpu.prng_random_bits((tr, nl)), jnp.uint32)
+        fbits = (bits >> 9) | jnp.uint32(0x3F800000)
+        u = (pltpu.bitcast(fbits, jnp.float32) - 1.0) + 2.9802322e-8
+        pert = bv - jnp.log(-jnp.log(u[:, :k]))  # l/T - log q, q~Exp(1)
+        pv = jnp.max(pert, axis=1, keepdims=True)
+        slotk = jax.lax.broadcasted_iota(jnp.int32, (tr, k), 1)
+        wslot = jnp.min(
+            jnp.where(pert == pv, slotk, jnp.int32(2**30)),
+            axis=1, keepdims=True,
+        )
+        wsel = slotk == wslot
+        wl = jnp.max(jnp.where(wsel, bv, -1e30), axis=1, keepdims=True)
+        wi = jnp.max(jnp.where(wsel, bi, -1), axis=1, keepdims=True)
+        mmax = bv[:, :1]
+        lse = mmax + jnp.log(
+            jnp.sum(jnp.exp(bv - mmax), axis=1, keepdims=True)
+        )
+        sample_ref[:, pl.ds(row0, tr)] = wi.reshape(1, tr)
+        prob_ref[:, pl.ds(row0, tr)] = jnp.exp(wl - lse).reshape(1, tr)
+        ovf_ref[:, pl.ds(row0, tr)] = ovf.reshape(1, tr)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "temperature", "row_tile", "vocab_chunk", "m"),
+)
+def fused_head_topk_sample_v2(
+    x: jax.Array,  # (R, D) post-ln_f tokens (any float dtype)
+    w: jax.Array,  # (D, V) head kernel
+    seed: jax.Array,  # () uint32/int32 — per-step seed
+    k: int,
+    *,
+    temperature: float = 1.0,
+    row_tile: int = 1024,
+    vocab_chunk: int = 512,
+    m: int = 10,
+):
+    """Streaming top-k + gumbel sampling, v2 (fixed unroll + overflow
+    flag). Returns (samples (R,) int32, chosen_prob (R,) fp32,
+    overflow (R,) int32). `overflow[r] == 1` means row r's top-k set
+    may be incomplete (some vocab chunk held more than `m` of the
+    row's true top-k — detection is exact up to kth-value ties) and
+    the caller must recompute that batch on the unfused exact path
+    (ops/sampling.py:sample_topk_tokens); see
+    sampler/decode.py:_sample_compact_bucket for the lax.cond wiring.
+
+    Distribution-identical to the unfused path on non-overflowing rows
+    (same top-k set, gumbel among the k, chosen_prob = filtered
+    softmax prob; reference transformer.py:843-895 semantics), with
+    i.i.d. Exp(1) noise from the in-kernel hardware PRNG.
+    """
+    R, D = x.shape
+    V = w.shape[1]
+    k = int(min(k, V))
+    m = int(min(m, vocab_chunk))
+    tr = min(row_tile, R)
+    tr = max(128, -(-tr // 128) * 128)
+    pad_r = _cdiv(R, tr) * tr - R
+    if pad_r:
+        x = jnp.pad(x, ((0, pad_r), (0, 0)))
+    Rp = x.shape[0]
+    Vp = -(-V // 128) * 128
+    vc = min(vocab_chunk, Vp)
+    Vp = _cdiv(Vp, vc) * vc
+    if Vp != V:
+        w = jnp.pad(w, ((0, 0), (0, Vp - V)))
+    w = w.astype(x.dtype)
+    grid = (Rp // tr, Vp // vc)
+
+    samples, probs, ovf = pl.pallas_call(
+        functools.partial(
+            _head_topk_sample_v2_kernel,
+            inv_temp=1.0 / (float(temperature) + 1e-8),
+            k=k,
+            m=m,
+            valid_v=None if Vp == V else V,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tr, D), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, vc), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Rp), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Rp), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Rp), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, Rp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Rp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Rp), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tr, k), jnp.float32),  # top-k scaled logits
+            pltpu.VMEM((tr, k), jnp.int32),    # their global indices
+            pltpu.VMEM((tr, 1), jnp.float32),  # running non-extracted max
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Rp * D * Vp,
+            bytes_accessed=(Vp // vc) * Rp * D * 2 + D * Vp * 2 + Rp * 12,
+            transcendentals=2 * Rp * k,
+        ),
+    )(jnp.asarray(seed, jnp.int32).reshape(1), x, w)
+    samples = samples[0]
+    probs = probs[0]
+    ovf = ovf[0]
+    if pad_r:
+        samples = samples[:R]
+        probs = probs[:R]
+        ovf = ovf[:R]
+    return samples, probs, ovf
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "temperature", "row_tile", "vocab_chunk"),

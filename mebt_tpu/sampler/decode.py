@@ -38,6 +38,20 @@ from mebt_tpu.sampler.mask_schedule import (
 )
 
 
+def _use_fused_topk() -> bool:
+    """Opt-in gate for the fused streaming top-k sampler (v2). Off by
+    default until the same-window TPU A/B lands (the v1 kernel measured
+    SLOWER than the unfused path — PERFORMANCE.md "Tried and
+    rejected"); enable with MEBT_FUSED_TOPK=1 on a TPU backend.
+    MEBT_FUSED_TOPK=force enables it on any backend (interpret tests)."""
+    import os
+
+    v = os.environ.get("MEBT_FUSED_TOPK", "")
+    if v == "force":
+        return True
+    return bool(v) and v != "0" and jax.default_backend() == "tpu"
+
+
 def _ctx_weight(cfg) -> float:
     """Per-token cost ratio of the enc phase (context tokens: K/V in
     each latent_enc block) to the dec phase (target tokens: q/proj/mlp
@@ -305,6 +319,40 @@ def _sample_compact_bucket(
             method="stage_b_tokens",
         )
         w = params["transformer"]["head"]["kernel"]
+        if _use_fused_topk():
+            # Streaming fused top-k (v2, fixed unroll): logits never
+            # touch HBM; the rare rows where a vocab chunk held more
+            # than `m` of the true top-k raise an overflow flag and the
+            # whole call falls back to the unfused exact path (both
+            # branches compile once; the fallback runs only when
+            # triggered — <~1% of steps at canonical shapes).
+            from mebt_tpu.ops.head_sample_pallas import (
+                fused_head_topk_sample_v2,
+            )
+
+            B, M, D = tokens.shape
+            seed = jax.random.bits(r_sample, (), jnp.uint32)
+            xf = tokens.reshape(B * M, D)
+            s_flat, p_flat, ovf = fused_head_topk_sample_v2(
+                xf, w, seed, int(top_k), temperature=temperature
+            )
+
+            def _fallback(_):
+                logits_raw = tokens @ w.astype(tokens.dtype)
+                return sample_topk_tokens(
+                    r_sample, logits_raw, int(top_k), temperature
+                )
+
+            def _accept(_):
+                return (
+                    s_flat.reshape(B, M).astype(jnp.int32),
+                    p_flat.reshape(B, M),
+                )
+
+            sampled, chosen_p = jax.lax.cond(
+                jnp.any(ovf > 0), _fallback, _accept, None
+            )
+            return sampled, chosen_p, None
         logits_raw = tokens @ w.astype(tokens.dtype)
         sampled, chosen_p = sample_topk_tokens(
             r_sample, logits_raw, int(top_k), temperature

@@ -203,3 +203,140 @@ def test_rows_get_independent_noise():
         row_tile=256, vocab_chunk=128,
     )
     assert len(np.unique(np.asarray(s))) > 5
+
+
+# ---------------------------------------------------------------------------
+# fused top-k v2 (fixed unroll + overflow flag). Same zeros-stub PRNG
+# caveat: off-TPU the gumbel shift is a per-call constant, so the winner
+# is the argmax and the noise-dependent tests are TPU-gated.
+
+from mebt_tpu.ops.head_sample_pallas import fused_head_topk_sample_v2
+
+
+def _np_topk_overflow(logits, k, vc, m):
+    """Expected overflow flags: a row overflows iff some vocab chunk
+    holds more than m of the row's top-k (ties at the kth value are
+    not counted — the kernel uses a strict > on the remaining max)."""
+    R, V = logits.shape
+    Vp = -(-V // 128) * 128
+    vcc = min(vc, Vp)
+    kth = np.sort(logits, axis=-1)[:, -k][:, None]
+    flags = np.zeros(R, bool)
+    for c in range(0, V, vcc):
+        chunk = logits[:, c:c + vcc]
+        in_topk = chunk > kth  # strictly above the kth value
+        flags |= in_topk.sum(-1) > m
+    return flags
+
+
+@pytest.mark.parametrize("k,V,vc", [(4, 256, 128), (32, 700, 256), (8, 96, 512)])
+def test_topk_v2_greedy_and_prob_exact_when_m_eq_k(k, V, vc):
+    """m = k can never miss (a chunk holds at most k of the top-k), so
+    the buffer is exact, overflow must never flag, and greedy winner +
+    filtered-softmax chosen_prob match numpy."""
+    rng = np.random.default_rng(16)
+    x, w = _setup(rng, 72, 32, V)
+    temp = 1.1
+    with pltpu.force_tpu_interpret_mode():
+        s, p, ovf = fused_head_topk_sample_v2(
+            x, w, jnp.uint32(21), k, temperature=temp,
+            row_tile=16, vocab_chunk=vc, m=k,
+        )
+    assert not np.asarray(ovf).any()
+    logits = (np.asarray(x) @ np.asarray(w)) / (temp + 1e-8)
+    np.testing.assert_array_equal(np.asarray(s), np.argmax(logits, -1))
+    kth = np.sort(logits, axis=-1)[:, -k:]
+    lse = kth.max(-1) + np.log(
+        np.exp(kth - kth.max(-1, keepdims=True)).sum(-1)
+    )
+    want_p = np.exp(logits.max(-1) - lse)
+    np.testing.assert_allclose(np.asarray(p), want_p, rtol=1e-4, atol=1e-6)
+
+
+def test_topk_v2_overflow_flags_concentrated_rows():
+    """Rows whose top-k concentrates >m members into one vocab chunk
+    must flag overflow; spread rows must not, and their outputs stay
+    exact."""
+    rng = np.random.default_rng(17)
+    R, V, k, m, vc = 24, 512, 8, 2, 128
+    base = rng.normal(size=(R, V)).astype(np.float32)
+    # rows 0..11: plant the top-k tightly inside chunk 0 (> m of them)
+    base[:12, :] = np.abs(base[:12, :]) * -1.0 - 1.0  # all below 0
+    for r in range(12):
+        base[r, 5:5 + k] = 10.0 + np.arange(k)[::-1]
+    # rows 12..: spread the top-k exactly 2 per 128-wide chunk (== m,
+    # never more) across the 4 chunks
+    spread = np.array([c * 128 + off for c in range(4) for off in (7, 80)])
+    for r in range(12, R):
+        base[r, :] = -np.abs(base[r, :]) - 1.0
+        base[r, spread] = 10.0 + np.arange(k)
+    x = jnp.asarray(base)  # D == V with identity head
+    w = jnp.eye(V, dtype=jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        s, p, ovf = fused_head_topk_sample_v2(
+            x, w, jnp.uint32(5), k, temperature=1.0,
+            row_tile=8, vocab_chunk=vc, m=m,
+        )
+    ovf = np.asarray(ovf).astype(bool)
+    want = _np_topk_overflow(base, k, vc, m)
+    np.testing.assert_array_equal(ovf, want)
+    assert ovf[:12].all() and not ovf[12:].any()
+    # non-overflow rows are exact: greedy winner + filtered prob
+    logits = base
+    kth = np.sort(logits, axis=-1)[:, -k:]
+    lse = kth.max(-1) + np.log(
+        np.exp(kth - kth.max(-1, keepdims=True)).sum(-1)
+    )
+    want_p = np.exp(logits.max(-1) - lse)
+    ok = ~ovf
+    np.testing.assert_array_equal(np.asarray(s)[ok], np.argmax(logits, -1)[ok])
+    np.testing.assert_allclose(np.asarray(p)[ok], want_p[ok], rtol=1e-4)
+
+
+def test_topk_v2_non_divisible_vocab_and_rows():
+    """Lane padding (rows and vocab) must never be sampled, flag
+    overflow, or leak into the probabilities."""
+    rng = np.random.default_rng(18)
+    V, k = 300, 6
+    x, w = _setup(rng, 41, 16, V)
+    with pltpu.force_tpu_interpret_mode():
+        s, p, ovf = fused_head_topk_sample_v2(
+            x, w, jnp.uint32(9), k, temperature=0.7,
+            row_tile=16, vocab_chunk=128, m=k,
+        )
+    assert not np.asarray(ovf).any()
+    logits = (np.asarray(x) @ np.asarray(w)) / (0.7 + 1e-8)
+    assert (np.asarray(s) < V).all()
+    np.testing.assert_array_equal(np.asarray(s), np.argmax(logits, -1))
+    kth = np.sort(logits, axis=-1)[:, -k:]
+    lse = kth.max(-1) + np.log(
+        np.exp(kth - kth.max(-1, keepdims=True)).sum(-1)
+    )
+    np.testing.assert_allclose(
+        np.asarray(p), np.exp(logits.max(-1) - lse), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_topk_v2_sampling_distribution():
+    """TPU only: empirical frequencies match the top-k-filtered softmax
+    and never leave the top-k set."""
+    _require_tpu()
+    rng = np.random.default_rng(19)
+    D, V, R, k = 16, 256, 4096, 8
+    xrow = rng.normal(size=(1, D)).astype(np.float32)
+    x = jnp.asarray(np.repeat(xrow, R, axis=0))
+    w = jnp.asarray(rng.normal(size=(D, V)).astype(np.float32) * 0.5)
+    s, _, ovf = fused_head_topk_sample_v2(
+        x, w, jnp.uint32(23), k, temperature=1.0,
+        row_tile=128, vocab_chunk=128, m=k,
+    )
+    assert not np.asarray(ovf).any()
+    logits = (xrow @ np.asarray(w))[0]
+    top = np.argsort(logits)[-k:]
+    counts = np.bincount(np.asarray(s), minlength=V)
+    assert counts[np.setdiff1d(np.arange(V), top)].sum() == 0
+    probs = np.exp(logits[top] - logits[top].max())
+    probs /= probs.sum()
+    freq = counts[top] / R
+    tol = 4 * np.sqrt(probs * (1 - probs) / R) + 1e-3
+    assert (np.abs(freq - probs) < tol).all(), (freq, probs)

@@ -472,3 +472,50 @@ def test_plan_segments_cover_and_bound():
     dense_cost = plan.n_steps * 8192
     staged_cost = sum((e - s) * b for s, e, b in segs)
     assert staged_cost < 0.85 * dense_cost
+
+
+# ---------------------------------------------------------------------------
+# fused streaming top-k (v2) wiring: MEBT_FUSED_TOPK routes the top-k
+# sampling through ops/head_sample_pallas.fused_head_topk_sample_v2 with
+# a lax.cond fallback to the unfused exact path on buffer overflow.
+
+
+@pytest.mark.parametrize("top_k", [5, 12])
+def test_fused_topk_decode_matches_unfused_greedy(
+    small_model, monkeypatch, top_k
+):
+    """Greedy (temperature -> 0) makes both noise sources inert, so the
+    fused-kernel decode must produce exactly the unfused codes/masks.
+    top_k=5 stays under the kernel's per-chunk candidate budget (accept
+    branch); top_k=12 exceeds m=10 with the 64-vocab single chunk, so
+    every row overflows and the lax.cond fallback must kick in (its
+    output is the unfused path itself, so equality proves the cond
+    wiring end to end)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    model, params = small_model
+    N = model.config.seq_len
+    plan = maskgit_plan(N, 4, "cosine")
+    rng = jax.random.PRNGKey(21)
+    kw = dict(
+        temperature=0.0, context_temperature=0.0, top_k=top_k, staged=True
+    )
+    monkeypatch.delenv("MEBT_FUSED_TOPK", raising=False)
+    base = maskgit_sample(model, params, rng, 2, plan, **kw)
+    monkeypatch.setenv("MEBT_FUSED_TOPK", "force")
+    jax.clear_caches()  # the env gate is read at trace time
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            fused = maskgit_sample(model, params, rng, 2, plan, **kw)
+    finally:
+        jax.clear_caches()  # don't leak force-gated traces to other tests
+    np.testing.assert_array_equal(
+        np.asarray(base.codes), np.asarray(fused.codes)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base.ctx_mask), np.asarray(fused.ctx_mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(base.chosen_prob), np.asarray(fused.chosen_prob),
+        atol=1e-5,
+    )
