@@ -215,17 +215,20 @@ from mebt_tpu.ops.head_sample_pallas import fused_head_topk_sample_v2
 
 def _np_topk_overflow(logits, k, vc, m):
     """Expected overflow flags: a row overflows iff some vocab chunk
-    holds more than m of the row's top-k (ties at the kth value are
-    not counted — the kernel uses a strict > on the remaining max)."""
+    holds more than m members of the row's top-k SET (the k largest
+    values INCLUDING the kth — a chunk with m values above the kth
+    plus the kth itself still misses the kth). Assumes no exact value
+    ties at the kth (measure-zero for continuous logits; the kernel's
+    strict > on the remaining max makes ties not flag)."""
     R, V = logits.shape
     Vp = -(-V // 128) * 128
     vcc = min(vc, Vp)
-    kth = np.sort(logits, axis=-1)[:, -k][:, None]
+    top_idx = np.argsort(logits, axis=-1)[:, -k:]  # top-k set indices
+    member = np.zeros_like(logits, dtype=bool)
+    np.put_along_axis(member, top_idx, True, axis=-1)
     flags = np.zeros(R, bool)
     for c in range(0, V, vcc):
-        chunk = logits[:, c:c + vcc]
-        in_topk = chunk > kth  # strictly above the kth value
-        flags |= in_topk.sum(-1) > m
+        flags |= member[:, c:c + vcc].sum(-1) > m
     return flags
 
 
@@ -340,3 +343,45 @@ def test_topk_v2_sampling_distribution():
     freq = counts[top] / R
     tol = 4 * np.sqrt(probs * (1 - probs) / R) + 1e-3
     assert (np.abs(freq - probs) < tol).all(), (freq, probs)
+
+
+def test_topk_v2_fuzz_against_numpy():
+    """Randomized configs: non-overflow rows must reproduce the exact
+    filtered-softmax probability (pins the whole buffer: top-k SET,
+    kth threshold, logsumexp), the stub-noise winner is the argmax,
+    and the overflow flags match the numpy oracle."""
+    rng = np.random.default_rng(20)
+    for trial in range(6):
+        V = int(rng.choice([96, 128, 257, 384]))
+        k = int(rng.choice([3, 5, 9]))
+        m = int(rng.choice([2, 3, k]))
+        vc = int(rng.choice([128, 256]))
+        R = int(rng.choice([9, 24]))
+        D = 16
+        temp = float(rng.uniform(0.5, 1.5))
+        x = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(D, V)).astype(np.float32) * 0.3)
+        with pltpu.force_tpu_interpret_mode():
+            s, p, ovf = fused_head_topk_sample_v2(
+                x, w, jnp.uint32(trial), k, temperature=temp,
+                row_tile=8, vocab_chunk=vc, m=m,
+            )
+        logits = (np.asarray(x) @ np.asarray(w)) / (temp + 1e-8)
+        want_ovf = _np_topk_overflow(logits, k, vc, m)
+        np.testing.assert_array_equal(
+            np.asarray(ovf).astype(bool), want_ovf,
+            err_msg=f"trial={trial} V={V} k={k} m={m} vc={vc}",
+        )
+        ok = ~want_ovf
+        np.testing.assert_array_equal(
+            np.asarray(s)[ok], np.argmax(logits, -1)[ok]
+        )
+        kth = np.sort(logits, axis=-1)[:, -k:]
+        lse = kth.max(-1) + np.log(
+            np.exp(kth - kth.max(-1, keepdims=True)).sum(-1)
+        )
+        np.testing.assert_allclose(
+            np.asarray(p)[ok], np.exp(logits.max(-1) - lse)[ok],
+            rtol=1e-4, atol=1e-6,
+            err_msg=f"trial={trial} V={V} k={k} m={m} vc={vc}",
+        )
