@@ -10,9 +10,13 @@ standard SPMD pipelining recipe — every device runs the same program;
 stage identity comes from `lax.axis_index`).
 
 Design notes (TPU-first):
-  * Each device holds ONLY its stage's block parameters: the per-block
-    trees are stacked on a leading (n_layer,) axis and sharded
-    P('pipe'), so parameter memory scales 1/S. Stage compute is a
+  * Each device holds ONLY its stage's block parameters when the state
+    uses the PIPELINE LAYOUT (`to_pp_params` / `pp_param_specs`): the
+    per-block trees are stacked on a leading (n_layer,) axis and
+    sharded P('pipe'), so parameter AND optimizer memory scale 1/S.
+    `pp_logits` also accepts the plain flax tree for convenience
+    (tests, parity checks) — that path re-stacks the replicated copy
+    per call and does NOT shard parameter memory. Stage compute is a
     `lax.scan` over the local blocks with `lax.switch` on the per-block
     routing mode (the five MeBT block modes share one parameter
     schema, models/transformer.py:Block).
@@ -65,6 +69,46 @@ def unstack_block_params(stacked, n_layer: int):
         f"block_{i}": jax.tree.map(lambda x: x[i], stacked)
         for i in range(n_layer)
     }
+
+
+def to_pp_params(params, n_layer: int):
+    """Convert a plain flax tree to the PIPELINE LAYOUT:
+    {'blocks': (n_layer, ...)-stacked block tree, 'nonpipe': the rest
+    (embeddings, latent queries, ln_f, head)}. Install 'blocks' with
+    P('pipe') sharding (`pp_param_specs`) so each device stores only
+    its stage's parameters — the point of the depth axis."""
+    tf = dict(params["transformer"])
+    blocks = [tf.pop(f"block_{i}") for i in range(n_layer)]
+    rest = {k: v for k, v in params.items() if k != "transformer"}
+    rest["transformer"] = tf
+    return {
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
+        "nonpipe": rest,
+    }
+
+
+def from_pp_params(pp_params, n_layer: int):
+    """Inverse of to_pp_params (gathers the blocks; for checkpointing
+    or handing weights back to non-pipeline code)."""
+    rest = dict(pp_params["nonpipe"])
+    tf = dict(rest["transformer"])
+    tf.update(unstack_block_params(pp_params["blocks"], n_layer))
+    rest["transformer"] = tf
+    return rest
+
+
+def pp_param_specs(pp_params):
+    """PartitionSpecs for the pipeline layout: stacked blocks sharded
+    over 'pipe', everything else replicated. Use with NamedSharding to
+    device_put the train state (and its optimizer mirror)."""
+    return {
+        "blocks": jax.tree.map(lambda _: P("pipe"), pp_params["blocks"]),
+        "nonpipe": jax.tree.map(lambda _: P(), pp_params["nonpipe"]),
+    }
+
+
+def _is_pp_layout(params) -> bool:
+    return isinstance(params, dict) and set(params) == {"blocks", "nonpipe"}
 
 
 def _block_branches(cfg, deterministic: bool):
@@ -127,7 +171,14 @@ def pp_logits(
 
     modes = default_mode_list(L, cfg.mode)
     mode_ids = jnp.asarray([BLOCK_MODES.index(m) for m in modes], jnp.int32)
-    stacked = stack_block_params(params, L)
+    if _is_pp_layout(params):
+        # pipeline layout: blocks arrive pre-stacked (and, when the
+        # caller installed pp_param_specs shardings, P('pipe')-sharded —
+        # no replicated full-parameter copy ever exists)
+        stacked = params["blocks"]
+        params = params["nonpipe"]
+    else:
+        stacked = stack_block_params(params, L)
     branches = _block_branches(cfg, deterministic)
 
     # embeddings + latent queries outside the pipeline (replicated params,

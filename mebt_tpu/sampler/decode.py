@@ -596,16 +596,8 @@ def _staged_sample(
     compacted-context buckets); None = unknown (tracer ctx_mask on the
     random path) — stage_a then runs dense."""
     N = state.codes.shape[1]
-    sp = model.config.seq_axis is not None
     if random_scores:
-        bucket = max(8, int(np.max(plan.n_new, initial=0)))
-        bucket = -(-bucket // 8) * 8
-        if n_ctx0 is None or sp:
-            ctx_bucket = None
-        else:
-            ctx_bucket = _round_bucket(
-                max(1, n_ctx0 + int(np.sum(plan.n_new, initial=0))), N
-            )
+        bucket, ctx_bucket = random_path_buckets(plan, N, n_ctx0)
         xs = (jnp.asarray(plan.do_step), jnp.asarray(plan.n_new))
         state, history = _staged_random_scan(
             model, params, state, xs,
@@ -619,16 +611,9 @@ def _staged_sample(
     else:
         n_tgt = plan.n_targets_before(N)
         histories = []
-        if sp:
-            # sequence parallelism keeps the dense stage_a: tgt-only
-            # segmentation, no ctx buckets
-            segments = [
-                (s, e, b, None) for s, e, b in plan_segments(plan, N)
-            ]
-        else:
-            segments = plan_segments_joint(
-                plan, N, ctx_weight=_ctx_weight(model.config)
-            )
+        segments = plan_segments_joint(
+            plan, N, ctx_weight=_ctx_weight(model.config)
+        )
         if collect_history and not segments:
             empty = (
                 jnp.zeros((0,) + state.codes.shape, state.codes.dtype),
@@ -700,6 +685,17 @@ def maskgit_sample(
     force the dense scan."""
     from mebt_tpu.models.mebt import transformer_split
 
+    if model.config.seq_axis is not None:
+        # sequence parallelism shards the training/scoring forward
+        # (parallel/sp.py) — its modules call lax.axis_index and must
+        # run inside shard_map, where this driver's plan arithmetic and
+        # promotion counts (canvas-global) would instead apply PER
+        # SHARD. Decode on the unsharded model (seq_axis=None); TP
+        # sharding of decode is supported (tests/test_multichip.py).
+        raise NotImplementedError(
+            "maskgit_sample does not support sequence-parallel models; "
+            "rebind the params to a seq_axis=None config for decoding"
+        )
     N = model.config.seq_len
     state = DecodeState.create(rng, B, N, codes, ctx_mask, chosen_prob)
     random_scores = strategy in ("random", "bootstrap")
@@ -718,6 +714,13 @@ def maskgit_sample(
             "staged=True requires a stageable mode list, no valid_mask, "
             "and a non-'ar' strategy"
         )
+    n_ctx_rows = None  # host copy of per-row context counts (one fetch)
+    if (
+        use_staged
+        and ctx_mask is not None
+        and not isinstance(ctx_mask, jax.core.Tracer)
+    ):
+        n_ctx_rows = np.asarray(jnp.sum(ctx_mask, axis=-1))
     if use_staged and not random_scores:
         # the staged confidence scan derives per-step target counts from
         # the PLAN; a ctx_mask whose context count disagrees with
@@ -725,8 +728,7 @@ def maskgit_sample(
         # compact_indices (the dense path derives counts from the live
         # mask, so the failure mode would differ between paths). Checked
         # host-side when the mask is concrete.
-        if ctx_mask is not None and not isinstance(ctx_mask, jax.core.Tracer):
-            n_ctx_rows = np.asarray(jnp.sum(ctx_mask, axis=-1))
+        if n_ctx_rows is not None:
             if not np.all(n_ctx_rows == plan.n_ctx_init):
                 raise ValueError(
                     f"ctx_mask context counts {np.unique(n_ctx_rows)} != "
@@ -742,8 +744,8 @@ def maskgit_sample(
         # host-known initial context count for the compact-ctx buckets
         if ctx_mask is None:
             n_ctx0 = 0
-        elif not isinstance(ctx_mask, jax.core.Tracer):
-            n_ctx0 = int(np.max(np.asarray(jnp.sum(ctx_mask, axis=-1))))
+        elif n_ctx_rows is not None:
+            n_ctx0 = int(np.max(n_ctx_rows))
         elif not random_scores:
             # validated contract: context count == plan.n_ctx_init
             n_ctx0 = int(plan.n_ctx_init)
@@ -932,6 +934,27 @@ def _gibbs_scan_compact(
 
 def _round_bucket(v: int, N: int, align: int = 128) -> int:
     return int(min(N, -(-int(v) // align) * align))
+
+
+def random_path_buckets(
+    plan: DecodePlan, N: int, n_ctx0: int | None
+) -> tuple[int, int | None]:
+    """(target_bucket, ctx_bucket) of `_staged_sample`'s random/
+    bootstrap branch: ONE 8-aligned target bucket sized from the max
+    per-step promotion count (logits are computed only at promoted
+    rows) and ONE 128-aligned compact-context bucket sized for the
+    final context count (None = dense stage_a when the initial context
+    count isn't host-known). Shared with utils/flops.plan_macs so the
+    FLOP accounting models exactly what the scan compiles."""
+    bucket = max(8, int(np.max(plan.n_new, initial=0)))
+    bucket = -(-bucket // 8) * 8
+    if n_ctx0 is None:
+        ctx_bucket = None
+    else:
+        ctx_bucket = _round_bucket(
+            max(1, n_ctx0 + int(np.sum(plan.n_new, initial=0))), N
+        )
+    return bucket, ctx_bucket
 
 
 def _gibbs_chunk_counts(n_tgt_rows: np.ndarray, n_chunks: int) -> np.ndarray:

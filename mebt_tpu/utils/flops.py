@@ -60,25 +60,43 @@ def plan_macs(
     promote_first: bool = False,
 ) -> dict:
     """Total per-batch-item MACs to run `plan` through the staged scan
-    with the production joint segmentation. `promote_first` models the
-    random/bootstrap fast path (logits only at the n_new bucket).
-    Returns {'enc','dec','head'} MACs plus 'segments' and the
-    zero-alignment 'ideal' counts."""
-    segs = plan_segments_joint(plan, N, max_segments=max_segments,
-                               align=align)
+    with the production buckets. `promote_first` models the
+    random/bootstrap fast path; otherwise the confidence path's joint
+    segmentation is used. Returns {'enc','dec','head'} MACs plus
+    'segments' and the zero-alignment 'ideal' counts."""
     nt = np.asarray(plan.n_targets_before(N))
     n_new = np.asarray(plan.n_new)
     total = {"enc": 0, "dec": 0, "head": 0}
     ideal = {"enc": 0, "dec": 0, "head": 0}
+    if promote_first:
+        # the random/bootstrap branch's actual buckets: ONE 8-aligned
+        # target bucket (logits only at promoted rows) and ONE
+        # 128-aligned compact-context bucket, from the same helper the
+        # decode scan uses (single source of truth).
+        from mebt_tpu.sampler.decode import random_path_buckets
+
+        M, C = random_path_buckets(plan, N, int(plan.n_ctx_init))
+        live = np.asarray(plan.do_step, bool)
+        for s in range(int(plan.n_steps)):
+            if not live[s]:
+                continue
+            got = step_macs(C, M, D=D, L=L, V=V, modes=modes)
+            want = step_macs(
+                int(N - nt[s]), int(n_new[s]), D=D, L=L, V=V, modes=modes
+            )
+            for k in total:
+                total[k] += got[k]
+                ideal[k] += want[k]
+        total["segments"] = [(0, int(plan.n_steps), M, C)]
+        total["ideal"] = ideal
+        return total
+    segs = plan_segments_joint(plan, N, max_segments=max_segments,
+                               align=align)
     for start, stop, tb, cb in segs:
         for s in range(start, stop):
-            M = tb
-            if promote_first:
-                M = int(min(N, -(-max(int(n_new[s]), 1) // align) * align))
-            got = step_macs(cb, M, D=D, L=L, V=V, modes=modes)
+            got = step_macs(cb, tb, D=D, L=L, V=V, modes=modes)
             want = step_macs(
-                int(N - nt[s]), int(n_new[s] if promote_first else nt[s]),
-                D=D, L=L, V=V, modes=modes,
+                int(N - nt[s]), int(nt[s]), D=D, L=L, V=V, modes=modes,
             )
             for k in total:
                 total[k] += got[k]

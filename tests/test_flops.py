@@ -61,3 +61,22 @@ def test_segments_cover_all_steps():
     for s, e, tb, cb in segs:
         assert tb >= nt[s:e].max()
         assert cb >= (8192 - nt[s:e]).max() or cb == 8192
+
+
+def test_promote_first_models_actual_buckets():
+    """The random/bootstrap accounting must use the decode scan's real
+    buckets (one 8-aligned target bucket + one 128-aligned context
+    bucket), not the confidence path's joint segmentation — the first
+    draft modeled a 128-wide target bucket and overstated the 128f
+    bootstrap head FLOPs 16x."""
+    from mebt_tpu.sampler.decode import random_path_buckets
+
+    bplan = bootstrap_plan(8192, 64)
+    macs = plan_macs(bplan, 8192, D=1024, L=256, V=16384,
+                     promote_first=True)
+    tb, cb = random_path_buckets(bplan, 8192, bplan.n_ctx_init)
+    assert (tb, cb) == (8, 128)
+    assert macs["segments"] == [(0, 64, tb, cb)]
+    got = step_macs(cb, tb, D=1024, L=256, V=16384)
+    for k in ("enc", "dec", "head"):
+        assert macs[k] == 64 * got[k]

@@ -149,3 +149,73 @@ def test_pp_loss_and_grads_match_dense(mesh, remat):
             atol=1e-5,
             err_msg=jax.tree_util.keystr(key),
         )
+
+
+def test_pp_pipeline_layout_shards_param_memory(mesh):
+    """The pipeline layout (to_pp_params + pp_param_specs) must (a)
+    round-trip exactly, (b) reproduce the replicated-layout logits and
+    gradients, and (c) actually shard the block parameters: each device
+    stores 1/pipe of the stacked block tree (the module's 1/S parameter
+    memory claim)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mebt_tpu.parallel.pp import (
+        from_pp_params,
+        pp_param_specs,
+        to_pp_params,
+    )
+
+    model, params, codes, ctx, tgt = _setup(
+        ("latent_enc", "latent_self", "latent_dec", "lt2l")
+    )
+    L = model.config.n_layer
+    pp_params = to_pp_params(params, L)
+    rt = from_pp_params(pp_params, L)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        params, rt,
+    )
+    specs = pp_param_specs(pp_params)
+    pp_sharded = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        pp_params, specs,
+    )
+    # (c): each device holds exactly L/pipe of every stacked leaf
+    S = mesh.shape["pipe"]
+    leaf = jax.tree.leaves(pp_sharded["blocks"])[0]
+    assert leaf.shape[0] == L
+    shard_shapes = {tuple(s.data.shape) for s in leaf.addressable_shards}
+    assert shard_shapes == {(L // S,) + leaf.shape[1:]}
+
+    dense = model.apply({"params": params}, codes, ctx, tgt)
+    out = jax.jit(
+        lambda p: pp_logits(model, p, codes, ctx, tgt, mesh, n_micro=4)
+    )(pp_sharded)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense), atol=1e-5)
+
+    # gradients flow in the pipeline layout (what a 1/S train state sees)
+    N = codes.shape[1]
+    batch = {
+        "codes": codes,
+        "ctx_mask": ctx,
+        "tgt_mask": tgt,
+        "seq_len": jnp.float32(N),
+        "masked_weight": jnp.float32(N - 8),
+    }
+    loss_fn = pp_loss_fn(model, mesh, n_micro=4, avg_loss=1.0)
+    (loss_pp, _), grads_pp = jax.jit(
+        jax.value_and_grad(lambda p, b: loss_fn(p, b), has_aux=True)
+    )(pp_sharded, batch)
+    (loss_ref, _), grads_ref = jax.jit(
+        jax.value_and_grad(lambda p, b: loss_fn(p, b), has_aux=True)
+    )(params, batch)
+    np.testing.assert_allclose(float(loss_pp), float(loss_ref), rtol=1e-6)
+    grads_ref_pp = to_pp_params(grads_ref, L)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        grads_pp, grads_ref_pp,
+    )
