@@ -66,7 +66,10 @@ def timeit(fn, *args, label=""):
 
 
 def main():
-    rows_list = [16384, 4096]
+    # default shapes: the historical A/B point (16384) and a small
+    # segment; pass row counts as argv to probe others (the 128f big
+    # segment at bs 8 is 65536 rows)
+    rows_list = [int(a) for a in sys.argv[1:]] or [16384, 4096]
     D, V = 1024, 16384
     key = jax.random.key(42)
     w = jax.random.normal(jax.random.fold_in(key, 1), (D, V), jnp.bfloat16) * 0.02
