@@ -232,7 +232,7 @@ def _head_topk_sample_v2_kernel(
     seed_ref, x_ref, w_ref,
     sample_ref, prob_ref, ovf_ref,
     bufv_ref, bufi_ref, rem_ref,
-    *, inv_temp: float, k: int, m: int, valid_v: int | None,
+    *, inv_temp: float, k: int, m: int, sub: int, valid_v: int | None,
 ):
     """Fixed-unroll streaming top-k (v2): no data-dependent control flow.
 
@@ -281,35 +281,42 @@ def _head_topk_sample_v2_kernel(
     if valid_v is not None:
         l = jnp.where(col + j * vc < valid_v, l, -1e30)
 
-    # top-m of the chunk: m unrolled (max, first-index, mask) passes.
-    # Ties take the lowest column (masked-min over ids), and masking is
-    # by column — equal values are extracted one per pass, not together.
-    work = l
+    # top-m of each `sub`-wide slice: m unrolled (max, first-index,
+    # mask) passes per slice. Ties take the lowest column (masked-min
+    # over ids), and masking is by column — equal values are extracted
+    # one per pass, not together. Extraction granularity (`sub`, which
+    # sets the miss probability and total extraction work m*V) is
+    # decoupled from merge granularity (`vc`, which sets how many
+    # rank-merges amortize the per-merge k+candidates unroll).
     cand_v = []
     cand_i = []
-    for _ in range(m):
-        v = jnp.max(work, axis=1, keepdims=True)  # (TR, 1)
-        idx = jnp.min(
-            jnp.where(work == v, col, jnp.int32(2**30)),
-            axis=1, keepdims=True,
-        )
-        cand_v.append(v)
-        cand_i.append(idx + j * vc)
-        work = jnp.where(col == idx, -1e30, work)
-    rem_ref[:] = jnp.maximum(
-        rem_ref[:], jnp.max(work, axis=1, keepdims=True)
-    )
-    cv = jnp.concatenate(cand_v, axis=1)  # (TR, m) descending
+    rem = rem_ref[:]
+    for h in range(vc // sub):
+        work = l[:, h * sub:(h + 1) * sub]
+        colh = col[:, h * sub:(h + 1) * sub]
+        for _ in range(m):
+            v = jnp.max(work, axis=1, keepdims=True)  # (TR, 1)
+            idx = jnp.min(
+                jnp.where(work == v, colh, jnp.int32(2**30)),
+                axis=1, keepdims=True,
+            )
+            cand_v.append(v)
+            cand_i.append(idx + j * vc)
+            work = jnp.where(colh == idx, -1e30, work)
+        rem = jnp.maximum(rem, jnp.max(work, axis=1, keepdims=True))
+    rem_ref[:] = rem
+    nc = len(cand_v)  # (vc // sub) * m candidates per chunk
+    cv = jnp.concatenate(cand_v, axis=1)  # (TR, nc)
     ci = jnp.concatenate(cand_i, axis=1).astype(jnp.int32)
 
     # rank-merge candidates into the buffer. rank(e) = #elements
     # strictly ahead of e under (value desc, global index asc) — unique
     # because indices are unique; dummy (-1e30, 0) entries may collide
     # but only ever scatter -1e30 over -1e30.
-    allv = jnp.concatenate([bufv_ref[:], cv], axis=1)  # (TR, k+m)
+    allv = jnp.concatenate([bufv_ref[:], cv], axis=1)  # (TR, k+nc)
     alli = jnp.concatenate([bufi_ref[:], ci], axis=1)
-    rank = jnp.zeros((tr, k + m), jnp.int32)
-    for t in range(k + m):
+    rank = jnp.zeros((tr, k + nc), jnp.int32)
+    for t in range(k + nc):
         vt = allv[:, t:t + 1]
         it = alli[:, t:t + 1]
         ahead = (vt > allv) | ((vt == allv) & (it < alli))
@@ -317,7 +324,7 @@ def _head_topk_sample_v2_kernel(
     slot = jax.lax.broadcasted_iota(jnp.int32, (tr, k), 1)
     nbv = jnp.full((tr, k), -1e30, jnp.float32)
     nbi = jnp.zeros((tr, k), jnp.int32)
-    for t in range(k + m):
+    for t in range(k + nc):
         put = slot == rank[:, t:t + 1]  # one-hot when rank < k
         nbv = jnp.where(put, allv[:, t:t + 1], nbv)
         nbi = jnp.where(put, alli[:, t:t + 1], nbi)
@@ -358,7 +365,9 @@ def _head_topk_sample_v2_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "temperature", "row_tile", "vocab_chunk", "m"),
+    static_argnames=(
+        "k", "temperature", "row_tile", "vocab_chunk", "m", "sub"
+    ),
 )
 def fused_head_topk_sample_v2(
     x: jax.Array,  # (R, D) post-ln_f tokens (any float dtype)
@@ -370,15 +379,23 @@ def fused_head_topk_sample_v2(
     row_tile: int = 1024,
     vocab_chunk: int = 512,
     m: int = 10,
+    sub: int = 512,
 ):
     """Streaming top-k + gumbel sampling, v2 (fixed unroll + overflow
     flag). Returns (samples (R,) int32, chosen_prob (R,) fp32,
     overflow (R,) int32). `overflow[r] == 1` means row r's top-k set
-    may be incomplete (some vocab chunk held more than `m` of the
-    row's true top-k — detection is exact up to kth-value ties) and
-    the caller must recompute that batch on the unfused exact path
+    may be incomplete (some `sub`-wide vocab slice held more than `m`
+    of the row's true top-k — detection is exact up to kth-value ties)
+    and the caller must recompute that batch on the unfused exact path
     (ops/sampling.py:sample_topk_tokens); see
     sampler/decode.py:_sample_compact_bucket for the lax.cond wiring.
+
+    Tunables: `sub` sets the extraction granularity (miss probability
+    ~ Poisson(k*sub/V) tail past m, total extraction work m*V);
+    `vocab_chunk` sets the merge granularity (one rank-merge of
+    k + m*vc/sub candidates per chunk — wider chunks amortize the
+    per-merge unroll); `row_tile` trades VMEM footprint against W
+    re-streams.
 
     Distribution-identical to the unfused path on non-overflowing rows
     (same top-k set, gumbel among the k, chosen_prob = filtered
@@ -388,7 +405,6 @@ def fused_head_topk_sample_v2(
     R, D = x.shape
     V = w.shape[1]
     k = int(min(k, V))
-    m = int(min(m, vocab_chunk))
     tr = min(row_tile, R)
     tr = max(128, -(-tr // 128) * 128)
     pad_r = _cdiv(R, tr) * tr - R
@@ -397,6 +413,9 @@ def fused_head_topk_sample_v2(
     Rp = x.shape[0]
     Vp = -(-V // 128) * 128
     vc = min(vocab_chunk, Vp)
+    sub = int(min(sub, vc))
+    vc = (vc // sub) * sub  # merge granularity: whole sub slices
+    m = int(min(m, sub))
     Vp = _cdiv(Vp, vc) * vc
     if Vp != V:
         w = jnp.pad(w, ((0, 0), (0, Vp - V)))
@@ -409,6 +428,7 @@ def fused_head_topk_sample_v2(
             inv_temp=1.0 / (float(temperature) + 1e-8),
             k=k,
             m=m,
+            sub=sub,
             valid_v=None if Vp == V else V,
         ),
         grid=grid,

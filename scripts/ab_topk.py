@@ -102,15 +102,23 @@ def main():
 
         timeit(fused_nok, x, w, label="fused no-top-k (reference point)")
 
-        for vc, m, tr in [(512, 10, 1024), (512, 10, 512), (1024, 14, 512),
-                          (256, 8, 1024), (512, 8, 1024)]:
+        # (vocab_chunk, m, row_tile, sub): sub < vc decouples extraction
+        # granularity (miss probability, m*V total work) from merge
+        # granularity (rank-merge count)
+        for vc, m, tr, sub in [
+            (512, 10, 1024, 512),
+            (1024, 10, 1024, 512),
+            (2048, 10, 512, 512),
+            (1024, 14, 512, 1024),
+            (2048, 8, 1024, 256),
+        ]:
 
             @jax.jit
             def fused_v2(x, w):
                 def body(c, i):
                     s, p, o = fused_head_topk_sample_v2(
                         x, w, jnp.uint32(i), K, temperature=1.0,
-                        row_tile=tr, vocab_chunk=vc, m=m,
+                        row_tile=tr, vocab_chunk=vc, m=m, sub=sub,
                     )
                     return (
                         c
@@ -123,7 +131,7 @@ def main():
                 s, _ = jax.lax.scan(body, 0.0, jnp.arange(STEPS))
                 return s
 
-            timeit(fused_v2, x, w, label=f"fused v2 vc={vc} m={m} tr={tr}")
+            timeit(fused_v2, x, w, label=f"fused v2 vc={vc} m={m} tr={tr} sub={sub}")
 
         # overflow (fallback) rate at random weights
         _, _, ovf = fused_head_topk_sample_v2(

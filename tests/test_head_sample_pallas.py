@@ -351,11 +351,12 @@ def test_topk_v2_fuzz_against_numpy():
     kth threshold, logsumexp), the stub-noise winner is the argmax,
     and the overflow flags match the numpy oracle."""
     rng = np.random.default_rng(20)
-    for trial in range(6):
+    for trial in range(8):
         V = int(rng.choice([96, 128, 257, 384]))
         k = int(rng.choice([3, 5, 9]))
         m = int(rng.choice([2, 3, k]))
         vc = int(rng.choice([128, 256]))
+        sub = int(rng.choice([128, vc]))  # extraction granularity
         R = int(rng.choice([9, 24]))
         D = 16
         temp = float(rng.uniform(0.5, 1.5))
@@ -364,10 +365,14 @@ def test_topk_v2_fuzz_against_numpy():
         with pltpu.force_tpu_interpret_mode():
             s, p, ovf = fused_head_topk_sample_v2(
                 x, w, jnp.uint32(trial), k, temperature=temp,
-                row_tile=8, vocab_chunk=vc, m=m,
+                row_tile=8, vocab_chunk=vc, m=m, sub=sub,
             )
+        # the wrapper clamps sub to the (possibly lane-padded) chunk
+        sub_eff = min(sub, min(vc, -(-V // 128) * 128))
+        want_ovf = _np_topk_overflow(
+            (np.asarray(x) @ np.asarray(w)) / (temp + 1e-8), k, sub_eff, m
+        )
         logits = (np.asarray(x) @ np.asarray(w)) / (temp + 1e-8)
-        want_ovf = _np_topk_overflow(logits, k, vc, m)
         np.testing.assert_array_equal(
             np.asarray(ovf).astype(bool), want_ovf,
             err_msg=f"trial={trial} V={V} k={k} m={m} vc={vc}",
