@@ -54,7 +54,13 @@ def probe():
 
 
 def timeit(fn, *args, label=""):
-    np.asarray(fn(*args))  # compile + warm
+    # a config can fail device compile (e.g. VMEM overflow at wide
+    # vocab_chunk x row_tile products) — survive and keep sweeping
+    try:
+        np.asarray(fn(*args))  # compile + warm
+    except Exception as e:
+        print(f"  {label}: FAILED ({type(e).__name__}: {str(e)[:120]})")
+        return None
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
