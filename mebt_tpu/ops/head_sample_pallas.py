@@ -376,10 +376,10 @@ def fused_head_topk_sample_v2(
     k: int,
     *,
     temperature: float = 1.0,
-    row_tile: int = 1024,
-    vocab_chunk: int = 512,
-    m: int = 10,
-    sub: int = 512,
+    row_tile: int = 512,
+    vocab_chunk: int = 1024,
+    m: int = 12,
+    sub: int = 1024,
 ):
     """Streaming top-k + gumbel sampling, v2 (fixed unroll + overflow
     flag). Returns (samples (R,) int32, chosen_prob (R,) fp32,
@@ -457,6 +457,15 @@ def fused_head_topk_sample_v2(
             pltpu.VMEM((tr, k), jnp.int32),    # their global indices
             pltpu.VMEM((tr, 1), jnp.float32),  # running non-extracted max
         ],
+        # The unrolled extraction + rank-merge holds several (tr, sub)
+        # fp32 temporaries live at once; the 16 MiB default scoped-vmem
+        # stack rejects the kernel at production shapes (observed
+        # 65.65M at tr=1024 on v5e, whose VMEM is 128 MiB). Rows are
+        # independent; the vocab axis carries the running buffers.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Rp * D * Vp,
             bytes_accessed=(Vp // vc) * Rp * D * 2 + D * Vp * 2 + Rp * 12,

@@ -39,17 +39,20 @@ from mebt_tpu.sampler.mask_schedule import (
 
 
 def _use_fused_topk() -> bool:
-    """Opt-in gate for the fused streaming top-k sampler (v2). Off by
-    default until the same-window TPU A/B lands (the v1 kernel measured
-    SLOWER than the unfused path — PERFORMANCE.md "Tried and
-    rejected"); enable with MEBT_FUSED_TOPK=1 on a TPU backend.
+    """Gate for the fused streaming top-k sampler (v2). ON by default
+    on TPU: the same-window A/B (scripts/ab_topk.py, v5e) measured
+    21.2 ms/step vs 38.2 unfused at the 128f head shapes
+    (16384x1024 @ 1024x16384, k=32) with vc=1024 m=12 tr=512 sub=1024
+    — 1.8x. Disable with MEBT_FUSED_TOPK=0;
     MEBT_FUSED_TOPK=force enables it on any backend (interpret tests)."""
     import os
 
     v = os.environ.get("MEBT_FUSED_TOPK", "")
     if v == "force":
         return True
-    return bool(v) and v != "0" and jax.default_backend() == "tpu"
+    if v == "0":
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def _ctx_weight(cfg) -> float:

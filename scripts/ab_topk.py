@@ -112,11 +112,12 @@ def main():
         # granularity (miss probability, m*V total work) from merge
         # granularity (rank-merge count)
         for vc, m, tr, sub in [
-            (512, 10, 1024, 512),
-            (1024, 10, 1024, 512),
-            (2048, 10, 512, 512),
             (1024, 14, 512, 1024),
-            (2048, 8, 1024, 256),
+            (1024, 12, 512, 1024),
+            (2048, 14, 512, 1024),
+            (1024, 14, 256, 1024),
+            (1024, 10, 512, 512),
+            (512, 10, 1024, 512),
         ]:
 
             @jax.jit
