@@ -37,9 +37,41 @@ def _to_unit_range(frames_u8: np.ndarray) -> np.ndarray:
 
 
 class _Base:
-    """Common item assembly: video tensor + latent-position permutation."""
+    """Common item assembly: video tensor + latent-position permutation.
+
+    RNG discipline: `__getitem__` runs on DataLoader THREADS
+    (data/loader.py uses a ThreadPoolExecutor) and
+    `np.random.Generator` is documented as NOT thread-safe — a single
+    shared generator would silently corrupt its state or hand duplicate
+    window/permutation draws to concurrent items. Every item therefore
+    derives a fresh generator from (seed, epoch, index): thread-safe by
+    construction and deterministic regardless of worker count — the
+    analogue of the reference's per-worker-process RNG isolation
+    (reference data.py:286-294), with reproducibility on top.
+    """
 
     latent_shape: Sequence[int] = (1,)
+    _seed: int = 0
+    _epoch: int = 0
+
+    def _init_rng(self, seed: int | None) -> None:
+        # seed=None keeps the old unseeded semantics (fresh entropy per
+        # run) while staying per-item deterministic within the run
+        self._seed = (
+            int(np.random.SeedSequence().entropy % (2**63))
+            if seed is None
+            else int(seed)
+        )
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the per-epoch stream so an item draws a different
+        window/permutation each epoch (DataLoader.set_epoch forwards
+        here)."""
+        self._epoch = int(epoch)
+
+    def _item_rng(self, index: int) -> np.random.Generator:
+        return np.random.default_rng((self._seed, self._epoch, int(index)))
 
     def _perm(self, rng: np.random.Generator) -> np.ndarray:
         n = int(np.prod(self.latent_shape))
@@ -76,7 +108,7 @@ class FrameListDataset(_Base):
         self.train = train
         self.latent_shape = latent_shape
         self.videos = self._scan(data_folder)
-        self._rng = np.random.default_rng(seed)
+        self._init_rng(seed)
 
     def _scan(self, root: str) -> list[list[str]]:
         list_file = osp.join(root, "train.txt" if self.train else "test.txt")
@@ -144,13 +176,14 @@ class FrameListDataset(_Base):
     def __getitem__(self, index):
         from PIL import Image
 
+        rng = self._item_rng(index)
         frames_paths = self.videos[index]
         n_interval = self.sequence_length * self.sample_every_n_frames
         if self.sequence_length == -1:
             start, end = 0, len(frames_paths)
         else:
             start = int(
-                self._rng.integers(0, len(frames_paths) - n_interval + 1)
+                rng.integers(0, len(frames_paths) - n_interval + 1)
             )
             end = start + n_interval
 
@@ -161,7 +194,7 @@ class FrameListDataset(_Base):
         selected = frames_paths[start : end : self.sample_every_n_frames]
         video = native.decode_clip(selected, self.resolution)
         if video is not None:
-            return {"video": video, "indices": self._perm(self._rng)}
+            return {"video": video, "indices": self._perm(rng)}
 
         frames = []
         crop = None
@@ -186,7 +219,7 @@ class FrameListDataset(_Base):
             frames.append(np.asarray(img.convert("RGB"), dtype=np.uint8))
 
         video = _to_unit_range(np.stack(frames))  # (T, H, W, C)
-        return {"video": video, "indices": self._perm(self._rng)}
+        return {"video": video, "indices": self._perm(rng)}
 
 
 class HDF5PreprocessedDataset(_Base):
@@ -213,7 +246,7 @@ class HDF5PreprocessedDataset(_Base):
         self.resolution = resolution
         self.sample_every_n_frames = sample_every_n_frames
         self.latent_shape = latent_shape
-        self._rng = np.random.default_rng(seed)
+        self._init_rng(seed)
         prefix = "train" if train else "test"
         t = sequence_length * sample_every_n_frames
         vid_cache = data_file.replace(".hdf5", f"_vid_{t}f_{prefix}.npy")
@@ -242,13 +275,14 @@ class HDF5PreprocessedDataset(_Base):
         return self.size
 
     def __getitem__(self, index):
+        rng = self._item_rng(index)
         lo, hi = int(self._idx[index]), int(self._idx[index + 1])
         span = self.sequence_length * self.sample_every_n_frames
-        start = lo + int(self._rng.integers(0, hi - lo - span))
+        start = lo + int(rng.integers(0, hi - lo - span))
         clip = self._images[start : start + span : self.sample_every_n_frames]
         return {
             "video": _to_unit_range(np.asarray(clip)),
-            "indices": self._perm(self._rng),
+            "indices": self._perm(rng),
         }
 
 
@@ -277,7 +311,7 @@ class HDF5VTokensDataset(_Base):
         self.spatial_length = spatial_length
         self.sample_every_n_frames = sample_every_n_frames
         self.latent_shape = latent_shape
-        self._rng = np.random.default_rng(seed)
+        self._init_rng(seed)
         prefix = "train" if train else "test"
         with h5py.File(data_file, "r") as f:
             self._tokens = np.asarray(f[f"{prefix}_data"])
@@ -288,6 +322,7 @@ class HDF5VTokensDataset(_Base):
         return self.size
 
     def __getitem__(self, index):
+        rng = self._item_rng(index)
         lo = int(self._idx[index])
         hi = (
             int(self._idx[index + 1])
@@ -295,13 +330,15 @@ class HDF5VTokensDataset(_Base):
             else len(self._tokens)
         )
         if hi - lo <= self.sequence_length:
-            return self[int(self._rng.integers(0, self.size))]
-        start = lo + int(self._rng.integers(0, hi - lo - self.sequence_length))
+            # too-short clip: random resample, like the reference
+            # (data.py:392-393); the redraw index gets its own item rng
+            return self[int(rng.integers(0, self.size))]
+        start = lo + int(rng.integers(0, hi - lo - self.sequence_length))
         clip = self._tokens[start : start + self.sequence_length]
         if self.spatial_length != self.resolution:
             m = self.resolution - self.spatial_length + 1
-            y0 = int(self._rng.integers(0, m))
-            x0 = int(self._rng.integers(0, m))
+            y0 = int(rng.integers(0, m))
+            x0 = int(rng.integers(0, m))
             clip = clip[
                 :, y0 : y0 + self.spatial_length, x0 : x0 + self.spatial_length
             ]
@@ -313,7 +350,7 @@ class HDF5VTokensDataset(_Base):
         return {
             "codes": np.asarray(clip, np.int64),
             "cbox": box,
-            "indices": self._perm(self._rng),
+            "indices": self._perm(rng),
         }
 
 
@@ -342,7 +379,7 @@ class VideoFileDataset(_Base):
         self.resolution = resolution
         self.sample_every_n_frames = sample_every_n_frames
         self.latent_shape = latent_shape
-        self._rng = np.random.default_rng(seed)
+        self._init_rng(seed)
 
         folder = osp.join(data_folder, "train" if train else "test")
         files = sorted(
@@ -448,7 +485,7 @@ class VideoFileDataset(_Base):
         return {
             "video": _to_unit_range(video),
             "label": label,
-            "indices": self._perm(self._rng),
+            "indices": self._perm(self._item_rng(index)),
         }
 
     def _resize_center(self, video: np.ndarray) -> np.ndarray:

@@ -58,6 +58,12 @@ class DataLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        # advance the dataset's per-item RNG stream too (datasets derive
+        # thread-safe per-(seed, epoch, index) generators — see
+        # datasets._Base) so windows/permutations differ across epochs
+        set_ds_epoch = getattr(self.dataset, "set_epoch", None)
+        if callable(set_ds_epoch):
+            set_ds_epoch(epoch)
 
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.dataset)

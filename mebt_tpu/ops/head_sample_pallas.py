@@ -61,7 +61,6 @@ def _head_sample_kernel(
     nj = pl.num_programs(1)
     tr = x_ref.shape[0]
     vc = w_ref.shape[1]
-    row0 = i * tr
 
     @pl.when(j == 0)
     def _():
@@ -118,11 +117,12 @@ def _head_sample_kernel(
     @pl.when(j == nj - 1)
     def _():
         lse = m_ref[:] + jnp.log(s_ref[:])
-        # outputs are lane-major (1, Rp); one tiny transpose per tile
-        sample_ref[:, pl.ds(row0, tr)] = besti_ref[:].reshape(1, tr)
-        prob_ref[:, pl.ds(row0, tr)] = jnp.exp(
-            bestl_ref[:] - lse
-        ).reshape(1, tr)
+        # outputs are lane-major (1, tr) blocks, one per row tile (a
+        # shared whole-(1, Rp) block written via pl.ds would be a
+        # cross-iteration dependency on the parallel row axis — megacore
+        # chips keep per-core copies and could clobber each other)
+        sample_ref[:, :] = besti_ref[:].reshape(1, tr)
+        prob_ref[:, :] = jnp.exp(bestl_ref[:] - lse).reshape(1, tr)
 
 
 def _head_topk_sample_kernel(
@@ -151,7 +151,6 @@ def _head_topk_sample_kernel(
     nj = pl.num_programs(1)
     tr = x_ref.shape[0]
     vc = w_ref.shape[1]
-    row0 = i * tr
 
     @pl.when(j == 0)
     def _():
@@ -224,8 +223,8 @@ def _head_topk_sample_kernel(
         lse = mmax + jnp.log(
             jnp.sum(jnp.exp(bv - mmax), axis=1, keepdims=True)
         )
-        sample_ref[:, pl.ds(row0, tr)] = wi.reshape(1, tr)
-        prob_ref[:, pl.ds(row0, tr)] = jnp.exp(wl - lse).reshape(1, tr)
+        sample_ref[:, :] = wi.reshape(1, tr)
+        prob_ref[:, :] = jnp.exp(wl - lse).reshape(1, tr)
 
 
 def _head_topk_sample_v2_kernel(
@@ -265,7 +264,6 @@ def _head_topk_sample_v2_kernel(
     nj = pl.num_programs(1)
     tr = x_ref.shape[0]
     vc = w_ref.shape[1]
-    row0 = i * tr
 
     @pl.when(j == 0)
     def _():
@@ -358,9 +356,9 @@ def _head_topk_sample_v2_kernel(
         lse = mmax + jnp.log(
             jnp.sum(jnp.exp(bv - mmax), axis=1, keepdims=True)
         )
-        sample_ref[:, pl.ds(row0, tr)] = wi.reshape(1, tr)
-        prob_ref[:, pl.ds(row0, tr)] = jnp.exp(wl - lse).reshape(1, tr)
-        ovf_ref[:, pl.ds(row0, tr)] = ovf.reshape(1, tr)
+        sample_ref[:, :] = wi.reshape(1, tr)
+        prob_ref[:, :] = jnp.exp(wl - lse).reshape(1, tr)
+        ovf_ref[:, :] = ovf.reshape(1, tr)
 
 
 @functools.partial(
@@ -378,7 +376,7 @@ def fused_head_topk_sample_v2(
     temperature: float = 1.0,
     row_tile: int = 512,
     vocab_chunk: int = 1024,
-    m: int = 12,
+    m: int = 14,
     sub: int = 1024,
 ):
     """Streaming top-k + gumbel sampling, v2 (fixed unroll + overflow
@@ -391,7 +389,12 @@ def fused_head_topk_sample_v2(
     sampler/decode.py:_sample_compact_bucket for the lax.cond wiring.
 
     Tunables: `sub` sets the extraction granularity (miss probability
-    ~ Poisson(k*sub/V) tail past m, total extraction work m*V);
+    ~ Poisson(k*sub/V) tail past m, total extraction work m*V). The
+    m=14 default keeps the whole-BATCH fallback probability <~1% of
+    steps at the canonical 128f shapes (k=32, sub=1024, V=16384 →
+    Poisson(2) per slice: P(>14) ~ 4e-9; 65536 rows x 16 slices →
+    ~0.4%/step) — m=12 would be ~5%/step at 16384 rows and each
+    fallback step pays fused + unfused serially;
     `vocab_chunk` sets the merge granularity (one rank-merge of
     k + m*vc/sub candidates per chunk — wider chunks amortize the
     per-merge unroll); `row_tile` trades VMEM footprint against W
@@ -439,12 +442,16 @@ def fused_head_topk_sample_v2(
             pl.BlockSpec((D, vc), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
+        # outputs blocked by ROW TILE (index map i) so the parallel row
+        # axis never revisits a shared block — on megacore chips a
+        # shared (1, Rp) block written via pl.ds from every tile would
+        # be a cross-core clobber hazard
         out_specs=(
-            pl.BlockSpec((1, Rp), lambda i, j: (0, 0),
+            pl.BlockSpec((1, tr), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Rp), lambda i, j: (0, 0),
+            pl.BlockSpec((1, tr), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Rp), lambda i, j: (0, 0),
+            pl.BlockSpec((1, tr), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -541,9 +548,9 @@ def fused_head_topk_sample(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, Rp), lambda i, j: (0, 0),
+            pl.BlockSpec((1, tr), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Rp), lambda i, j: (0, 0),
+            pl.BlockSpec((1, tr), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -619,12 +626,14 @@ def fused_head_sample(
             pl.BlockSpec((D, vc), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        # outputs are small (1, Rp) lane vectors kept whole in VMEM —
-        # a (Rp, 1) column layout would pad every row to 128 lanes
+        # outputs are small lane-major vectors, blocked (1, tr) per row
+        # tile (a (Rp, 1) column layout would pad every row to 128
+        # lanes; a shared whole-(1, Rp) block would be revisited across
+        # row tiles — a megacore clobber hazard)
         out_specs=(
-            pl.BlockSpec((1, Rp), lambda i, j: (0, 0),
+            pl.BlockSpec((1, tr), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Rp), lambda i, j: (0, 0),
+            pl.BlockSpec((1, tr), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(

@@ -285,15 +285,20 @@ def _sample_compact_bucket(
     Paths, fastest first:
       * fused head+gumbel Pallas kernel (no top-k/top-p, prob scores,
         TPU): the (rows, vocab) logits never touch HBM
-        (ops/head_sample_pallas.py:fused_head_sample). NOTE: top_k
-        decoding stays on the unfused path — the extraction-based fused
-        top-k kernel (fused_head_topk_sample) measured 1.2-1.5x SLOWER
-        in a same-window A/B (PERFORMANCE.md "Tried and rejected").
-      * bf16 top-k fast path: run the head matmul in model dtype and
-        hand the RAW (bf16) logits to sample_topk_tokens — the three
-        O(rows x V) HBM passes (write + TopK read + equality read)
-        halve vs fp32, with bit-identical samples (bf16->fp32 is
-        monotone and exact; see ops/sampling.py:sample_topk_tokens).
+        (ops/head_sample_pallas.py:fused_head_sample).
+      * fused streaming top-k v2 (top-k, prob scores, TPU — the default
+        top-k path, see _use_fused_topk): fixed-unroll extraction +
+        rank-merge keeps logits out of HBM; rare per-chunk buffer
+        overflows flip a flag and the whole call falls back to the
+        unfused exact path via lax.cond. (The v1 extraction-while-loop
+        kernel measured 1.2-1.5x SLOWER and is retired —
+        PERFORMANCE.md "Tried and rejected".)
+      * bf16 top-k fast path (top-k with MEBT_FUSED_TOPK=0, or non-TPU):
+        run the head matmul in model dtype and hand the RAW (bf16)
+        logits to sample_topk_tokens — the three O(rows x V) HBM passes
+        (write + TopK read + equality read) halve vs fp32, with
+        bit-identical samples (bf16->fp32 is monotone and exact; see
+        ops/sampling.py:sample_topk_tokens).
       * dense: stage_b_compact fp32 logits + sample_tokens.
     """
     if (
@@ -324,11 +329,13 @@ def _sample_compact_bucket(
         w = params["transformer"]["head"]["kernel"]
         if _use_fused_topk():
             # Streaming fused top-k (v2, fixed unroll): logits never
-            # touch HBM; the rare rows where a vocab chunk held more
-            # than `m` of the true top-k raise an overflow flag and the
-            # whole call falls back to the unfused exact path (both
-            # branches compile once; the fallback runs only when
-            # triggered — <~1% of steps at canonical shapes).
+            # touch HBM; the rare rows where a `sub`-wide vocab slice
+            # held more than `m` of the true top-k raise an overflow
+            # flag and the whole call falls back to the unfused exact
+            # path (both branches compile once; the fallback runs only
+            # when triggered — <~1% of steps at the kernel's m=14
+            # default even at the largest 128f segment, see the
+            # Poisson accounting in fused_head_topk_sample_v2).
             from mebt_tpu.ops.head_sample_pallas import (
                 fused_head_topk_sample_v2,
             )

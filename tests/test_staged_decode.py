@@ -480,17 +480,17 @@ def test_plan_segments_cover_and_bound():
 # a lax.cond fallback to the unfused exact path on buffer overflow.
 
 
-@pytest.mark.parametrize("top_k", [5, 12])
+@pytest.mark.parametrize("top_k", [5, 16])
 def test_fused_topk_decode_matches_unfused_greedy(
     small_model, monkeypatch, top_k
 ):
     """Greedy (temperature -> 0) makes both noise sources inert, so the
     fused-kernel decode must produce exactly the unfused codes/masks.
-    top_k=5 stays under the kernel's per-chunk candidate budget (accept
-    branch); top_k=12 exceeds m=10 with the 64-vocab single chunk, so
-    every row overflows and the lax.cond fallback must kick in (its
-    output is the unfused path itself, so equality proves the cond
-    wiring end to end)."""
+    top_k=5 stays under the kernel's per-slice candidate budget (accept
+    branch); top_k=16 exceeds the kernel's m=14 default with the
+    64-vocab single slice, so every row overflows and the lax.cond
+    fallback must kick in (its output is the unfused path itself, so
+    equality proves the cond wiring end to end)."""
     from jax.experimental.pallas import tpu as pltpu
 
     model, params = small_model
