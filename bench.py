@@ -47,6 +47,16 @@ import numpy as np
 BASELINE_16F_VIDEOS_PER_SEC = 3.0  # estimated reference A100 throughput
 BASELINE_128F_VIDEOS_PER_SEC = 0.1  # estimated reference A100 throughput
 
+# Estimated reference TRAIN throughput (tokens/s on one A100): the
+# dense fwd+bwd costs train_tflop_per_item (utils/flops.py) per batch
+# item; granting the torch stack a generous 40% MFU of A100 bf16 peak
+# (312 TFLOP/s) gives N * 312 * 0.4 / tflop_item. Generous because the
+# reference's gathered attention + unfused softmax/LN run well below
+# that — measure with scripts/time_reference.py --train on CUDA before
+# quoting ratios.
+BASELINE_16F_TRAIN_TOKENS_PER_SEC = 123_000.0
+BASELINE_128F_TRAIN_TOKENS_PER_SEC = 172_000.0
+
 
 def chip_probe():
     """Fixed-cost matmul probe: the tunnel chip throttles/shares over
@@ -97,7 +107,7 @@ def _random_params(model, cfg):
     )
 
 
-def build(latent_shape=(4, 16, 16)):
+def build(latent_shape=(4, 16, 16), remat=False):
     from mebt_tpu.models.mebt import MeBT, MeBTConfig
     from mebt_tpu.models.vqgan import VQGAN, VQGANConfig
     from __graft_entry__ import _canonical_mode
@@ -112,6 +122,7 @@ def build(latent_shape=(4, 16, 16)):
         mode=_canonical_mode(),
         latent_shape=tuple(latent_shape),
         dtype=jnp.bfloat16,
+        remat=remat,
     )
     model = MeBT(cfg)
     params = _random_params(model, cfg)
@@ -250,6 +261,95 @@ def bench_128f():
     return B / dt, phases
 
 
+def bench_train(latent_shape, B, mask_schedule, *,
+                remat=False, n_steps=6):
+    """One fused train step — frozen VQGAN encode + dense MeBT
+    forward/backward + AdamW, exactly make_train_step's jit — on a
+    synthetic device-resident video batch at the published recipe's
+    per-GPU batch size (configs/stl/mebt_{16,128}f.yaml data.batch_size;
+    the reference's 2M-step loop, train_transformer.py:97-101).
+
+    The batch lives on device: host->device transfer is the prefetch
+    pipeline's job (data/loader.py) and is excluded, as is host mask
+    construction (~1 ms of numpy per step, overlapped by prefetch).
+    Returns (tokens/s/chip, extras) where tokens = canvas positions the
+    dense step processes (B * N per step)."""
+    from mebt_tpu.sampler.mask_schedule import MaskGen
+    from mebt_tpu.train.train_state import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+    from mebt_tpu.utils.runtime import donation_argnums
+
+    model, params, vqgan = build(latent_shape, remat=remat)
+    cfg = model.config
+    N = cfg.seq_len
+
+    # pixel geometry from the stage-1 downsample so the encode lands
+    # exactly on the model's latent canvas (flagship: (4,8,8) -> 128px)
+    dt_, dh, dw = vqgan.config.downsample
+    video = jax.random.uniform(
+        jax.random.key(5),
+        (B, cfg.latent_shape[0] * dt_, cfg.latent_shape[1] * dh,
+         cfg.latent_shape[2] * dw, 3),
+        jnp.float32, -0.5, 0.5,
+    )
+    mg = MaskGen(
+        schedule=mask_schedule, max_token=N, method="mlm",
+        shape=cfg.latent_shape, budget=N,
+    )
+    host_rng = np.random.default_rng(0)
+    perms = np.stack([host_rng.permutation(N) for _ in range(B)])
+    masks = mg.train_masks(perms, 0.5, 0, cfg.latent_shape[0])
+    batch = {
+        "video": video,
+        "ctx_mask": jnp.asarray(masks.ctx_mask),
+        "tgt_mask": jnp.asarray(masks.tgt_mask),
+        "seq_len": jnp.float32(masks.seq_len),
+        "masked_weight": jnp.float32(masks.masked_weight),
+    }
+    tx = make_optimizer(
+        exact_lr=1e-5, warmup_steps=0, weight_decay=0.01,
+        cosine_lr=False, max_steps=1_000_000,
+    )
+    state = TrainState.create(jax.random.key(7, impl="rbg"), params, tx)
+    del params
+    step = jax.jit(
+        make_train_step(model, tx, vqgan=vqgan),
+        donate_argnums=donation_argnums((0,)),
+    )
+
+    state, metrics = step(state, batch)  # compile + warm
+    float(metrics["loss"])
+
+    # XLA's own whole-step FLOP count (fwd+bwd+encode+optimizer, VPU
+    # included) as a cross-check on the analytic transformer-only
+    # model. Runs AFTER the warm step so this AOT compile is a
+    # persistent-compilation-cache hit, not a second cold compile.
+    try:
+        cost = step.lower(state, batch).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        xla_tflop = float(cost["flops"]) / 1e12
+    except Exception:
+        xla_tflop = None
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, batch)
+    loss = float(metrics["loss"])  # one sync drains the queued steps
+    dt = (time.perf_counter() - t0) / n_steps
+    assert np.isfinite(loss)
+    return B * N / dt, {
+        "step_ms": round(dt * 1e3, 1),
+        "batch_size": B,
+        "remat": remat,
+        "xla_tflop_per_step": (
+            float(f"{xla_tflop:.4g}") if xla_tflop is not None else None
+        ),
+    }
+
+
 def main():
     import os
     import signal
@@ -318,6 +418,46 @@ def main():
         ),
         flush=True,
     )
+    from mebt_tpu.utils.flops import train_macs, train_tflop_per_item
+
+    # training throughput at the published recipe's per-GPU batch size
+    # (reference 2M-step loop, train_transformer.py:97-101); MFU counts
+    # the analytic transformer fwd+bwd matmuls only (standard model-FLOP
+    # convention — the frozen VQGAN encode and optimizer are extra work
+    # the step also pays, visible in xla_tflop_per_step)
+    for name, shape, bsz, sched, remat, nst, base in (
+        ("stl16f_train_throughput", (4, 16, 16), 6, "cosine",
+         False, 8, BASELINE_16F_TRAIN_TOKENS_PER_SEC),
+        ("stl128f_train_throughput", (32, 16, 16), 5, "linear",
+         True, 4, BASELINE_128F_TRAIN_TOKENS_PER_SEC),
+    ):
+        tps, extras = bench_train(
+            shape, bsz, sched, remat=remat, n_steps=nst
+        )
+        N = int(np.prod(shape))
+        fl_item = train_tflop_per_item(
+            train_macs(N, D=1024, L=256, V=16384),
+            fwd_bwd=4.0 if remat else 3.0,
+        )
+        probe_t = chip_probe()
+        mfu = (bsz * fl_item) / (extras["step_ms"] / 1e3) / probe_t
+        print(
+            json.dumps(
+                {
+                    "metric": name,
+                    "value": round(tps, 1),
+                    "unit": "tokens/sec/chip",
+                    "vs_baseline": round(tps / base, 3),
+                    "baseline_estimated": True,
+                    "chip_probe_tflops_bf16": probe_t,
+                    "tflop_per_step_analytic": round(bsz * fl_item, 2),
+                    "mfu_vs_probe": round(mfu, 3),
+                    "phases": extras,
+                }
+            ),
+            flush=True,
+        )
+
     v128, p128 = bench_128f()
     sol128 = probe / fl128
     print(

@@ -109,3 +109,24 @@ def plan_macs(
 def tflop_per_video(macs: dict) -> float:
     """FLOPs (TFLOP) one generated video pays in transformer matmuls."""
     return 2 * sum(macs[k] for k in ("enc", "dec", "head")) / 1e12
+
+
+def train_macs(N: int, *, D: int, L: int, V: int, modes=CANONICAL_MODES) -> dict:
+    """Dense training-FORWARD MACs per batch item. The train step
+    (train/train_state.py:make_train_step) runs the full `__call__`
+    with every canvas position in the token stream — K/V projections
+    over all N rows in enc blocks (masking happens in attention, not
+    projection), Q/out/MLP over all N rows in dec blocks, and the
+    V-wide head over all N rows — i.e. step_macs at C = M = N. Matches
+    the dense forward the reference's shared_step runs
+    (reference transformer.py:717-732)."""
+    return step_macs(N, N, D=D, L=L, V=V, modes=modes)
+
+
+def train_tflop_per_item(macs: dict, *, fwd_bwd: float = 3.0) -> float:
+    """fwd+bwd matmul TFLOP one batch item pays per train step. Each
+    forward GEMM (y = x W) has two backward GEMMs of equal cost
+    (dW = xᵀ dy, dx = dy Wᵀ), so without rematerialisation the step is
+    3x the forward FLOPs; pass fwd_bwd=4.0 to model full remat (one
+    extra forward)."""
+    return fwd_bwd * 2 * sum(macs[k] for k in ("enc", "dec", "head")) / 1e12

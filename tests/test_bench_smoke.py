@@ -9,6 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # >60s wall; excluded from the fast CI path
 
 @pytest.fixture()
 def tiny_build(monkeypatch):
@@ -17,7 +18,7 @@ def tiny_build(monkeypatch):
     from mebt_tpu.models.vqgan import VQGAN, VQGANConfig
     from mebt_tpu.utils.flops import CANONICAL_MODES
 
-    def build(latent_shape=(4, 16, 16)):
+    def build(latent_shape=(4, 16, 16), remat=False):
         # ignore the requested shape: tiny everything; the canvas must
         # still hold the 128f recipe's 64-step bootstrap (N > 64)
         shape = (2, 8, 8)
@@ -25,7 +26,7 @@ def tiny_build(monkeypatch):
             vocab_size=64, block_size=int(np.prod(shape)), n_layer=4,
             n_head=2, n_embd=32, sos_emb=8,
             mode=tuple(CANONICAL_MODES[:2] + CANONICAL_MODES[-2:]),
-            latent_shape=shape, dtype=jnp.float32,
+            latent_shape=shape, dtype=jnp.float32, remat=remat,
         )
         model = MeBT(cfg)
         params = bench._random_params(model, cfg)
@@ -52,6 +53,30 @@ def test_bench_128f_smoke(tiny_build):
     v, phases = tiny_build.bench_128f()
     assert v > 0
     assert set(phases) == {"bootstrap_ms", "confidence_ms", "decode_ms"}
+
+
+@pytest.mark.parametrize("remat", [False, True])
+def test_bench_train_smoke(tiny_build, remat):
+    tps, extras = tiny_build.bench_train(
+        (2, 8, 8), 2, "cosine", remat=remat, n_steps=2
+    )
+    assert tps > 0
+    assert extras["batch_size"] == 2 and extras["remat"] is remat
+    assert extras["step_ms"] > 0
+    # XLA cost_analysis is available on CPU too; if it returned, the
+    # whole-step FLOP count must exceed the analytic transformer-only
+    # fwd+bwd (it additionally counts the encode + optimizer + VPU)
+    from mebt_tpu.utils.flops import train_macs, train_tflop_per_item
+
+    if extras["xla_tflop_per_step"] is not None:
+        analytic = 2 * train_tflop_per_item(
+            train_macs(
+                128, D=32, L=8, V=64,
+                modes=tiny_build.build()[0].config.mode,
+            ),
+            fwd_bwd=3.0,
+        )
+        assert extras["xla_tflop_per_step"] >= 0.5 * analytic
 
 
 def test_bench_flop_constants_assemble():
