@@ -16,6 +16,7 @@ from mebt_tpu.ops.attention_pallas import (
     _xla_bwd,
 )
 
+pytestmark = pytest.mark.slow  # >60s wall; excluded from the fast CI path
 
 def _rand(rng, *shape):
     return jnp.asarray(rng.normal(size=shape).astype(np.float32))

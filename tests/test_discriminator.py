@@ -14,6 +14,8 @@ from mebt_tpu.models.discriminator import (
     vanilla_d_loss,
 )
 
+pytestmark = pytest.mark.slow  # >60s wall; excluded from the fast CI path
+
 torch = pytest.importorskip("torch")
 
 

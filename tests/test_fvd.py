@@ -13,6 +13,8 @@ from mebt_tpu.eval.fvd import (
     preprocess,
 )
 
+pytestmark = pytest.mark.slow  # >60s wall; excluded from the fast CI path
+
 torch = pytest.importorskip("torch")
 
 

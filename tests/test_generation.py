@@ -7,6 +7,7 @@ import textwrap
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # >60s wall; excluded from the fast CI path
 
 @pytest.fixture
 def tiny_cfg(tmp_path):

@@ -17,6 +17,7 @@ from mebt_tpu.ops.head_sample_pallas import (
     fused_head_topk_sample,
 )
 
+pytestmark = pytest.mark.slow  # >60s wall; excluded from the fast CI path
 
 def _setup(rng, R, D, V):
     x = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))

@@ -28,9 +28,12 @@ from mebt_tpu.models.lpips import (  # noqa: E402
 
 LIN_PATH = "/root/reference/mebt/modules/cache/vgg.pth"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(LIN_PATH), reason="reference lin weights absent"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.exists(LIN_PATH), reason="reference lin weights absent"
+    ),
+    pytest.mark.slow,  # >60s wall; excluded from the fast CI path
+]
 
 
 def _random_torch_vgg16(seed: int = 0):

@@ -6,6 +6,8 @@ import glob
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # >60s wall; excluded from the fast CI path
+
 torch = pytest.importorskip("torch")
 
 

@@ -10,6 +10,7 @@ from mebt_tpu.parallel.mesh import make_mesh, shard_pytree, batch_sharding
 from mebt_tpu.sampler.decode import maskgit_sample
 from mebt_tpu.sampler.mask_schedule import maskgit_plan
 
+pytestmark = pytest.mark.slow  # >60s wall; excluded from the fast CI path
 
 @pytest.fixture(scope="module")
 def mesh():

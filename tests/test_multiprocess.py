@@ -24,6 +24,7 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # >60s wall; excluded from the fast CI path
 
 def _free_port():
     s = socket.socket()

@@ -8,6 +8,9 @@ from mebt_tpu.models.mebt import MeBT, MeBTConfig
 from mebt_tpu.models.vqgan import VQGAN, VQGANConfig
 from mebt_tpu.train.trainer import MeBTTrainer
 
+import pytest
+
+pytestmark = pytest.mark.slow  # >60s wall; excluded from the fast CI path
 
 def test_restore_orbax_params_roundtrip(tmp_path):
     config = {

@@ -11,6 +11,7 @@ from mebt_tpu.models.mebt import MeBT, MeBTConfig, mlm_loss
 from mebt_tpu.parallel.mesh import make_mesh
 from mebt_tpu.parallel.pp import pp_logits, pp_loss_fn
 
+pytestmark = pytest.mark.slow  # >60s wall; excluded from the fast CI path
 
 @pytest.fixture(scope="module")
 def mesh():

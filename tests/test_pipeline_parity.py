@@ -28,6 +28,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # >60s wall; excluded from the fast CI path
+
 torch = pytest.importorskip("torch")
 
 import jax  # noqa: E402

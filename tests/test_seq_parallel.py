@@ -16,6 +16,8 @@ from mebt_tpu.models.mebt import MeBT, MeBTConfig, mlm_loss
 from mebt_tpu.parallel.mesh import make_mesh
 from mebt_tpu.parallel.sp import sp_forward, sp_loss_fn
 
+pytestmark = pytest.mark.slow  # >60s wall; excluded from the fast CI path
+
 MODES = (
     "latent_enc", "latent_self", "latent_enc",
     "latent_dec", "lt2l", "latent_dec",

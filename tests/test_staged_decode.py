@@ -27,6 +27,8 @@ from mebt_tpu.sampler.mask_schedule import (
     plan_segments,
 )
 
+pytestmark = pytest.mark.slow  # >60s wall; excluded from the fast CI path
+
 STAGEABLE_MODES = (
     "latent_enc", "latent_self", "latent_enc", "latent_self",
     "latent_dec", "lt2l", "latent_dec", "lt2l",

@@ -10,6 +10,7 @@ import pytest
 
 from tests._reference import _stub_module
 
+pytestmark = pytest.mark.slow  # >60s wall; excluded from the fast CI path
 
 @pytest.fixture()
 def reference_on_path(monkeypatch):

@@ -8,6 +8,9 @@ import jax.numpy as jnp
 from mebt_tpu.models.vqgan import VQGANConfig
 from mebt_tpu.train.vqgan_train import VQGANTrainer
 
+import pytest
+
+pytestmark = pytest.mark.slow  # >60s wall; excluded from the fast CI path
 
 def _tiny_trainer(disc_start=0):
     cfg = VQGANConfig(
