@@ -166,6 +166,35 @@ def _timed(generate, runs=5):
     return float(np.median(times))
 
 
+_SYNC = None
+
+
+def _dev_timed(fn, runs=3):
+    """Device-side wall time: dispatch, then force execution with a
+    4-byte scalar fetch instead of the bulk output fetch — isolates
+    compute from host-transfer time in the phase breakdown. `fn` must
+    already be warm (compiled)."""
+    global _SYNC
+    if _SYNC is None:
+        _SYNC = jax.jit(lambda x: jnp.sum(x.astype(jnp.uint32)))
+    float(np.asarray(_SYNC(fn(_key(10)))))  # warm _SYNC for this dtype
+    times = []
+    for i in range(runs):
+        t0 = time.perf_counter()
+        float(np.asarray(_SYNC(fn(_key(100 + i)))))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def _fetch_timed(bufs):
+    """Host-fetch wall time for precomputed device buffers (the wire
+    cost of the uint8 pixels through the tunnel)."""
+    t0 = time.perf_counter()
+    for b in bufs:
+        np.asarray(b)
+    return (time.perf_counter() - t0) / len(bufs)
+
+
 def bench_16f():
     from mebt_tpu.sampler.decode import maskgit_sample
     from mebt_tpu.sampler.mask_schedule import maskgit_plan
@@ -193,12 +222,22 @@ def bench_16f():
         return decode_pixels(codes)
 
     dt = _timed(generate, runs=5)
+    # Phase breakdown measured immediately after the headline (same
+    # throttle window), serially, with device time split from the host
+    # fetch so the phases reconcile with the pipelined headline:
+    # headline ~= sum(device phases) + max(0, fetch - hidden-by-overlap).
     codes0 = sample_codes(_key(0)).reshape(B, *model.config.latent_shape)
+    t_sample = _dev_timed(sample_codes, runs=3)
+    t_dec = _dev_timed(lambda r: decode_pixels(codes0), runs=3)
+    bufs = [decode_pixels(codes0) for _ in range(3)]
+    float(np.asarray(_SYNC(bufs[-1])))
+    t_fetch = _fetch_timed(bufs)
     phases = {
-        "sample_ms": round(_timed(sample_codes, runs=3) * 1e3, 1),
-        "decode_ms": round(
-            _timed(lambda r: decode_pixels(codes0), runs=3) * 1e3, 1
-        ),
+        "sample_ms": round(t_sample * 1e3, 1),
+        "decode_device_ms": round(t_dec * 1e3, 1),
+        "fetch_ms": round(t_fetch * 1e3, 1),
+        "device_sum_ms": round((t_sample + t_dec) * 1e3, 1),
+        "headline_batch_ms": round(dt * 1e3, 1),
     }
     return B / dt, phases
 
@@ -246,17 +285,49 @@ def bench_128f():
         return decode_pixels(codes.reshape(B, *model.config.latent_shape))
 
     dt = _timed(generate, runs=3)
-    t_bs = _timed(lambda r: bootstrap_codes(r)[0], runs=2)
+    # Same-window serial phase breakdown (device time split from the
+    # host fetch — see bench_16f). The confidence phase is also timed
+    # with MEBT_FUSED_TOPK's unfused bf16-pass path so the fused
+    # streaming top-k v2 kernel's win stays on the record every round
+    # (PERFORMANCE.md "fused streaming top-k v2").
+    t_bs = _dev_timed(lambda r: bootstrap_codes(r)[0], runs=2)
     codes0, ctx0 = bootstrap_codes(_key(0))
-    t_conf = _timed(lambda r: confidence_codes(r, codes0, ctx0), runs=2)
+    t_conf = _dev_timed(
+        lambda r: confidence_codes(r, codes0, ctx0), runs=2
+    )
+    import os as _os
+
+    # The fused gate (_use_fused_topk) is read at TRACE time, so the
+    # compiled fused executable must be dropped for the env flip to
+    # take effect; the persistent compilation cache (utils/runtime.py)
+    # makes the re-traces cheap after the first ever run on a machine.
+    global _SYNC
+    jax.clear_caches()
+    _SYNC = None
+    _os.environ["MEBT_FUSED_TOPK"] = "0"
+    try:
+        t_conf_unfused = _dev_timed(
+            lambda r: confidence_codes(r, codes0, ctx0), runs=2
+        )
+    finally:
+        del _os.environ["MEBT_FUSED_TOPK"]
+        jax.clear_caches()
+        _SYNC = None
     pix0 = confidence_codes(_key(1), codes0, ctx0).reshape(
         B, *model.config.latent_shape
     )
-    t_dec = _timed(lambda r: decode_pixels(pix0), runs=2)
+    t_dec = _dev_timed(lambda r: decode_pixels(pix0), runs=2)
+    bufs = [decode_pixels(pix0) for _ in range(2)]
+    float(np.asarray(_SYNC(bufs[-1])))
+    t_fetch = _fetch_timed(bufs)
     phases = {
         "bootstrap_ms": round(t_bs * 1e3, 1),
         "confidence_ms": round(t_conf * 1e3, 1),
-        "decode_ms": round(t_dec * 1e3, 1),
+        "confidence_unfused_topk_ms": round(t_conf_unfused * 1e3, 1),
+        "decode_device_ms": round(t_dec * 1e3, 1),
+        "fetch_ms": round(t_fetch * 1e3, 1),
+        "device_sum_ms": round((t_bs + t_conf + t_dec) * 1e3, 1),
+        "headline_batch_ms": round(dt * 1e3, 1),
     }
     return B / dt, phases
 
@@ -376,13 +447,19 @@ def main():
     signal.alarm(int(os.environ.get("MEBT_BENCH_TIMEOUT", "3300")))
 
     from mebt_tpu.sampler.mask_schedule import bootstrap_plan, maskgit_plan
-    from mebt_tpu.utils.flops import plan_macs, tflop_per_video
+    from mebt_tpu.utils.flops import (
+        plan_macs,
+        tflop_per_video,
+        vqgan_decode_macs,
+    )
 
     # matmul TFLOP one video pays under the production segmentation
-    # (mebt_tpu/utils/flops.py; full report: scripts/flops_decode.py) —
+    # (mebt_tpu/utils/flops.py; full report: scripts/flops_decode.py)
+    # PLUS the VQGAN pixel-decode convs — both are timed MXU work, so
     # value / (probe / tflop_per_video) = MXU utilization relative to
     # what the chip demonstrably sustains in the same window
-    fl16 = tflop_per_video(
+    fl16_dec = 2 * vqgan_decode_macs((4, 16, 16)) / 1e12
+    fl16 = fl16_dec + tflop_per_video(
         plan_macs(
             maskgit_plan(1024, 32, schedule="cosine",
                          ctemp_schedule="linear"),
@@ -396,7 +473,8 @@ def main():
                      n_ctx_init=64),
         8192, D=1024, L=256, V=16384,
     )
-    fl128 = tflop_per_video(b) + tflop_per_video(m)
+    fl128_dec = 2 * vqgan_decode_macs((32, 16, 16)) / 1e12
+    fl128 = tflop_per_video(b) + tflop_per_video(m) + fl128_dec
 
     probe = chip_probe()
     v16, p16 = bench_16f()
@@ -411,6 +489,7 @@ def main():
                 "baseline_estimated": True,
                 "chip_probe_tflops_bf16": probe,
                 "tflop_per_video": round(fl16, 2),
+                "tflop_pixel_decode": round(fl16_dec, 2),
                 "sol_videos_per_sec_at_probe": round(sol16, 2),
                 "mxu_utilization_vs_probe": round(v16 / sol16, 3),
                 "phases": p16,
@@ -471,6 +550,7 @@ def main():
                 "chip_probe_tflops_bf16": probe,
                 "chip_probe_tflops_bf16_post": chip_probe(),
                 "tflop_per_video": round(fl128, 2),
+                "tflop_pixel_decode": round(fl128_dec, 2),
                 "sol_videos_per_sec_at_probe": round(sol128, 2),
                 "mxu_utilization_vs_probe": round(v128 / sol128, 3),
                 "phases": p128,

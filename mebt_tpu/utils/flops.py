@@ -22,6 +22,8 @@ FLOP mass.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from mebt_tpu.sampler.mask_schedule import DecodePlan, plan_segments_joint
@@ -109,6 +111,44 @@ def plan_macs(
 def tflop_per_video(macs: dict) -> float:
     """FLOPs (TFLOP) one generated video pays in transformer matmuls."""
     return 2 * sum(macs[k] for k in ("enc", "dec", "head")) / 1e12
+
+
+def vqgan_decode_macs(
+    latent_thw,
+    *,
+    n_hiddens: int = 32,
+    downsample=(4, 8, 8),
+    embedding_dim: int = 256,
+) -> int:
+    """Conv MACs one video pays in the VQGAN pixel decode — the other
+    MXU workload in the timed generation path (models/vqgan.py:Decoder,
+    mirroring reference vqgan.py:266-299). Counted per conv:
+
+      post_vq_conv 1^3 : T*H*W * embedding_dim * C0
+      up_i ConvT 4^3   : in_positions * 64 * Cin * Cout (each input
+                         voxel contributes a full 4^3 * Cout patch)
+      res_i_{1,2}  3^3 : 2 convs * out_positions * 27 * C^2 each
+                         (in==out channels, so no shortcut conv)
+      conv_last    3^3 : out_positions * 27 * C_last * 3
+
+    GroupNorm/SiLU are VPU work with negligible FLOP mass (same
+    convention as the transformer model above)."""
+    t, h, w = (int(x) for x in latent_thw)
+    n_times = [int(math.log2(d)) for d in downsample]
+    max_ds = max(n_times)
+    in_ch = n_hiddens * 2 ** max_ds
+    macs = t * h * w * embedding_dim * in_ch  # post_vq_conv
+    remaining = list(n_times)
+    for i in range(max_ds):
+        stride = tuple(2 if r > 0 else 1 for r in remaining)
+        remaining = [r - 1 for r in remaining]
+        out_ch = n_hiddens * 2 ** (max_ds - i)
+        macs += t * h * w * (4 ** 3) * in_ch * out_ch  # up_i transpose
+        t, h, w = t * stride[0], h * stride[1], w * stride[2]
+        macs += 2 * 2 * t * h * w * 27 * out_ch * out_ch  # res_i_1/2
+        in_ch = out_ch
+    macs += t * h * w * 27 * in_ch * 3  # conv_last
+    return macs
 
 
 def train_macs(N: int, *, D: int, L: int, V: int, modes=CANONICAL_MODES) -> dict:

@@ -45,14 +45,23 @@ def tiny_build(monkeypatch):
 def test_bench_16f_smoke(tiny_build):
     v, phases = tiny_build.bench_16f()
     assert v > 0
-    assert set(phases) == {"sample_ms", "decode_ms"}
-    assert all(p > 0 for p in phases.values())
+    assert set(phases) == {
+        "sample_ms", "decode_device_ms", "fetch_ms", "device_sum_ms",
+        "headline_batch_ms",
+    }
+    # fetch_ms can round to 0.0 for the tiny CPU buffer
+    assert all(p > 0 for k, p in phases.items() if k != "fetch_ms")
+    assert phases["fetch_ms"] >= 0
 
 
 def test_bench_128f_smoke(tiny_build):
     v, phases = tiny_build.bench_128f()
     assert v > 0
-    assert set(phases) == {"bootstrap_ms", "confidence_ms", "decode_ms"}
+    assert set(phases) == {
+        "bootstrap_ms", "confidence_ms", "confidence_unfused_topk_ms",
+        "decode_device_ms", "fetch_ms", "device_sum_ms",
+        "headline_batch_ms",
+    }
 
 
 @pytest.mark.parametrize("remat", [False, True])
@@ -101,3 +110,8 @@ def test_bench_flop_constants_assemble():
     fl128 = tflop_per_video(b) + tflop_per_video(m)
     assert 7.0 < fl16 < 10.0
     assert 45.0 < fl128 < 60.0
+    # the pixel-decode conv term bench.main adds to each denominator
+    from mebt_tpu.utils.flops import vqgan_decode_macs
+
+    assert 0.5 < 2 * vqgan_decode_macs((4, 16, 16)) / 1e12 < 1.0
+    assert 5.0 < 2 * vqgan_decode_macs((32, 16, 16)) / 1e12 < 6.5

@@ -80,3 +80,44 @@ def test_promote_first_models_actual_buckets():
     got = step_macs(cb, tb, D=1024, L=256, V=16384)
     for k in ("enc", "dec", "head"):
         assert macs[k] == 64 * got[k]
+
+
+def test_vqgan_decode_macs_matches_xla():
+    """The analytic conv model must track XLA's own FLOP count for the
+    decode graph (tiny geometry so the CPU compile stays cheap; the
+    analytic model is pure arithmetic in the channel/stride structure,
+    so agreement here validates it at the flagship sizes too)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mebt_tpu.models.vqgan import VQGAN, VQGANConfig
+    from mebt_tpu.utils.flops import vqgan_decode_macs
+
+    cfg = VQGANConfig(
+        embedding_dim=8, n_codes=32, n_hiddens=4, downsample=(2, 4, 4),
+    )
+    vq = VQGAN.create(jax.random.key(0), cfg, example_shape=(1, 2, 8, 8, 3))
+    codes = jnp.zeros((1, 1, 2, 2), jnp.int32)
+    c = jax.jit(vq.decode).lower(codes).compile().cost_analysis()
+    if isinstance(c, (list, tuple)):
+        c = c[0]
+    xla_flops = float(c["flops"])
+    analytic = 2 * vqgan_decode_macs(
+        (1, 2, 2), n_hiddens=4, downsample=(2, 4, 4), embedding_dim=8
+    )
+    # XLA also counts the norm/SiLU/embedding VPU mass the conv model
+    # ignores; at these tiny channel counts that overhead is larger
+    # relatively than at the flagship's, so allow 25%.
+    assert analytic <= xla_flops * 1.05
+    assert analytic > 0.75 * xla_flops
+
+
+def test_vqgan_decode_macs_flagship_values():
+    """Flagship geometries (bench.build): the pixel decode is real MXU
+    work in the timed path — 128f pays ~5.6 TFLOP/video, 16f ~0.7."""
+    from mebt_tpu.utils.flops import vqgan_decode_macs
+
+    t128 = 2 * vqgan_decode_macs((32, 16, 16)) / 1e12
+    t16 = 2 * vqgan_decode_macs((4, 16, 16)) / 1e12
+    assert 5.0 < t128 < 6.5
+    assert abs(t128 / t16 - 8.0) < 1e-6  # pure T-axis scaling
