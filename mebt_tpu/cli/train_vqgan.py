@@ -60,6 +60,12 @@ def build_argparser():
     p.add_argument("--vgg_path", type=str, default="",
                    help="torchvision vgg16 state dict for LPIPS")
     p.add_argument("--lpips_lin_path", type=str, default="ckpts/vgg.pth")
+    p.add_argument(
+        "--no_perceptual", action="store_true",
+        help="explicitly train without the LPIPS perceptual term even "
+        "though perceptual_weight > 0 (otherwise missing LPIPS weights "
+        "are a hard error — a silent drop trains a different model)",
+    )
     p.add_argument("--seed", type=int, default=42)
     return p
 
@@ -97,16 +103,27 @@ def main(argv=None):
 
     lpips_bundle = None
     if args.perceptual_weight > 0:
-        try:
-            from mebt_tpu.models.lpips import load_lpips
-
-            lpips_bundle = load_lpips(args.vgg_path, args.lpips_lin_path)
-        except Exception as e:
+        if args.no_perceptual:
             print(
-                f"WARNING: LPIPS weights unavailable ({e}); training with "
-                "perceptual_weight=0"
+                "NOTE: --no_perceptual: training with perceptual_weight=0 "
+                "by explicit request"
             )
             cfg = VQGANConfig(**{**cfg.__dict__, "perceptual_weight": 0.0})
+        else:
+            try:
+                from mebt_tpu.models.lpips import load_lpips
+
+                lpips_bundle = load_lpips(args.vgg_path, args.lpips_lin_path)
+            except Exception as e:
+                # The reference always trains its VQGAN with the
+                # perceptual term (mebt/vqgan.py:186-189); silently
+                # dropping it would produce a different model, so this
+                # is a hard error unless --no_perceptual opts out.
+                raise SystemExit(
+                    f"LPIPS weights unavailable ({e}). Supply --vgg_path/"
+                    "--lpips_lin_path, or pass --no_perceptual to train "
+                    "without the perceptual term."
+                )
 
     vd = VideoData(vars(args))
     loader = vd.train_dataloader()

@@ -8,10 +8,11 @@ relu4_3, relu5_3), channel-unit-normalize, squared difference, 1x1
 
 Weights: the five lin-layer tensors ship with the reference
 (mebt/modules/cache/vgg.pth, ~7 KB); the VGG16 backbone comes from a
-torchvision `vgg16` state dict supplied by the user (`--vgg_path`) —
-this image has no torchvision/network access, so LPIPS is constructed
-lazily and VQGAN training degrades to perceptual_weight=0 with a
-warning when the weights are absent.
+torchvision `vgg16` state dict supplied by the user (`--vgg_path`).
+Missing weights are a HARD ERROR in `cli/train_vqgan.py` when
+perceptual_weight > 0 (the reference always trains with the perceptual
+term, mebt/vqgan.py:186-189 — silently dropping it trains a different
+model); `--no_perceptual` is the explicit opt-out.
 """
 
 from __future__ import annotations
