@@ -71,6 +71,14 @@ class _Base:
         self._epoch = int(epoch)
 
     def _item_rng(self, index: int) -> np.random.Generator:
+        """Deterministic per-(seed, epoch, index) generator. INTENDED
+        consequence: revisiting the same index within one epoch returns
+        a byte-identical item (window/crop/permutation). The shipped
+        samplers (loader.py epoch shards) visit each index at most once
+        per epoch, so no diversity is lost there; a
+        sampling-with-replacement wrapper that needs distinct repeat
+        draws should fold its own per-visit salt into `set_epoch` or
+        wrap the index space."""
         return np.random.default_rng((self._seed, self._epoch, int(index)))
 
     def _perm(self, rng: np.random.Generator) -> np.ndarray:
@@ -329,10 +337,19 @@ class HDF5VTokensDataset(_Base):
             if index < len(self._idx) - 1
             else len(self._tokens)
         )
-        if hi - lo <= self.sequence_length:
+        while hi - lo <= self.sequence_length:
             # too-short clip: random resample, like the reference
-            # (data.py:392-393); the redraw index gets its own item rng
-            return self[int(rng.integers(0, self.size))]
+            # (data.py:392-393). Iterative — successive candidates come
+            # from the SAME per-item generator, so a redraw cycle
+            # (A->B->A under the deterministic per-(seed,epoch,index)
+            # rng) advances instead of recursing forever.
+            index = int(rng.integers(0, self.size))
+            lo = int(self._idx[index])
+            hi = (
+                int(self._idx[index + 1])
+                if index < len(self._idx) - 1
+                else len(self._tokens)
+            )
         start = lo + int(rng.integers(0, hi - lo - self.sequence_length))
         clip = self._tokens[start : start + self.sequence_length]
         if self.spatial_length != self.resolution:
@@ -356,10 +373,18 @@ class HDF5VTokensDataset(_Base):
 
 class VideoFileDataset(_Base):
     """mp4/avi/webm clips under {root}/{train,test}/<class>/
-    (reference data.py:24-85, torchvision VideoClips replaced by an
-    imageio-ffmpeg reader with a per-file frame-count cache).
+    (reference data.py:24-85; torchvision VideoClips + its metadata
+    pickle cache replaced by an OpenCV reader with INDEXED seeking and
+    a per-file frame-count cache).
 
     Each __len__ entry is one non-overlapping sequence_length-frame clip.
+    Clip access is O(1) in the clip's position: `cv2.VideoCapture.set(
+    CAP_PROP_POS_FRAMES, start)` seeks via the container index to the
+    keyframe at/before `start` and decodes forward only the GOP tail —
+    the reference gets the same property from VideoClips
+    (data.py:54-61); a linear decode from frame 0 would make deep clips
+    of a long UCF-101 .avi O(position). Falls back to a linear imageio
+    read when OpenCV is unavailable or the seek lands wrong.
     Corrupt reads advance to the next index (reference data.py:75-81).
     """
 
@@ -435,6 +460,19 @@ class VideoFileDataset(_Base):
     @staticmethod
     def _count_frames(path: str) -> int:
         try:
+            import cv2
+
+            cap = cv2.VideoCapture(path)
+            try:
+                if cap.isOpened():
+                    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+                    if n > 0:
+                        return n
+            finally:
+                cap.release()
+        except Exception:
+            pass
+        try:
             import imageio.v3 as iio
 
             meta = iio.improps(path, plugin="pyav")
@@ -450,6 +488,48 @@ class VideoFileDataset(_Base):
             except Exception:
                 return 0
 
+    def _read_clip_indexed(self, path: str, start: int) -> list:
+        """O(1)-in-position clip read: container-index seek to `start`,
+        then decode exactly sequence_length frames. Raises on any
+        shortfall (caller falls back / advances)."""
+        import cv2
+
+        cap = cv2.VideoCapture(path)
+        try:
+            if not cap.isOpened():
+                raise ValueError(f"cv2 cannot open {path}")
+            if start > 0:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+                if int(cap.get(cv2.CAP_PROP_POS_FRAMES)) != start:
+                    raise ValueError("seek landed off target")
+            frames = []
+            for _ in range(self.sequence_length):
+                ok, frame = cap.read()
+                if not ok:
+                    raise ValueError("short read")
+                frames.append(np.ascontiguousarray(frame[..., ::-1]))
+            return frames
+        finally:
+            cap.release()
+
+    def _read_clip_linear(self, path: str, start: int) -> list:
+        import imageio
+
+        reader = imageio.get_reader(path)
+        frames = []
+        try:
+            for i, frame in enumerate(reader):
+                if i < start:
+                    continue
+                if i >= start + self.sequence_length:
+                    break
+                frames.append(np.asarray(frame))
+        finally:
+            reader.close()
+        if len(frames) < self.sequence_length:
+            raise ValueError("short read")
+        return frames
+
     @property
     def n_classes(self):
         return len(self.classes)
@@ -458,22 +538,17 @@ class VideoFileDataset(_Base):
         return len(self._clips)
 
     def __getitem__(self, index):
-        import imageio
-
         for _ in range(len(self._clips)):
             path, start = self._clips[index]
             try:
-                reader = imageio.get_reader(path)
-                frames = []
-                for i, frame in enumerate(reader):
-                    if i < start:
-                        continue
-                    if i >= start + self.sequence_length:
-                        break
-                    frames.append(np.asarray(frame))
-                reader.close()
-                if len(frames) < self.sequence_length:
-                    raise ValueError("short read")
+                try:
+                    frames = self._read_clip_indexed(path, start)
+                except ImportError:
+                    frames = self._read_clip_linear(path, start)
+                except ValueError:
+                    # seek-unfriendly container: one linear attempt
+                    # before declaring the clip corrupt
+                    frames = self._read_clip_linear(path, start)
                 break
             except Exception:
                 index = (index + 1) % len(self._clips)

@@ -227,3 +227,97 @@ def test_loader_epoch_determinism_with_workers(frame_folder):
         not np.array_equal(x["indices"], y["indices"])
         for x, y in zip(e0a, e1)
     )
+
+
+@pytest.fixture(scope="module")
+def video_folder(tmp_path_factory):
+    """One long generated mp4 (plus class dirs) for VideoFileDataset."""
+    cv2 = pytest.importorskip("cv2")
+    root = tmp_path_factory.mktemp("videos")
+    d = root / "train" / "classA"
+    d.mkdir(parents=True)
+    path = str(d / "long.mp4")
+    w = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), 25, (64, 64)
+    )
+    assert w.isOpened(), "cv2 VideoWriter cannot encode mp4v"
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+    n_frames = 1200
+    for i in range(n_frames):
+        # content varies per frame so seek mistakes are detectable
+        frame = np.roll(base, i, axis=1).copy()
+        w.write(frame)
+    w.release()
+    return str(root), path, n_frames
+
+
+def test_video_file_indexed_seek_correct(video_folder):
+    """Indexed reads must return exactly the frames a linear decode
+    yields at the same offsets (same decoder both paths)."""
+    import cv2
+
+    root, path, n_frames = video_folder
+    from mebt_tpu.data.datasets import VideoFileDataset
+
+    ds = VideoFileDataset(root, sequence_length=16, train=True, seed=0)
+    assert len(ds) == n_frames // 16
+
+    cap = cv2.VideoCapture(path)
+    linear = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        linear.append(np.ascontiguousarray(f[..., ::-1]))
+    cap.release()
+    assert len(linear) == n_frames
+
+    for start in (0, 16 * 30, 16 * (len(ds) - 1)):
+        got = ds._read_clip_indexed(path, start)
+        assert len(got) == 16
+        for j, f in enumerate(got):
+            np.testing.assert_array_equal(f, linear[start + j])
+
+
+def test_video_file_seek_cost_position_independent(video_folder):
+    """Per-clip decode cost must not grow with the clip's position in
+    the file (the reference's VideoClips O(1) access, data.py:54-61).
+    A linear-from-zero decode would pay ~75 GOPs of work for the last
+    clip vs ~1 for the first; indexed seek pays O(GOP) for both."""
+    import time
+
+    root, path, n_frames = video_folder
+    from mebt_tpu.data.datasets import VideoFileDataset
+
+    ds = VideoFileDataset(root, sequence_length=16, train=True, seed=0)
+    last = 16 * (len(ds) - 1)
+
+    def cost(start, reps=5):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            ds._read_clip_indexed(path, start)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    cost(0)  # warm file cache
+    early, late = cost(0), cost(last)
+    # generous 6x margin: both are O(GOP); linear-from-zero would be
+    # ~75x here and fail loudly
+    assert late < 6 * early + 0.02, (early, late)
+
+
+def test_video_file_dataset_items(video_folder):
+    root, path, n_frames = video_folder
+    from mebt_tpu.data.datasets import VideoFileDataset
+
+    ds = VideoFileDataset(
+        root, sequence_length=16, train=True, resolution=32,
+        latent_shape=(2, 4, 4), seed=0,
+    )
+    item = ds[len(ds) - 1]
+    assert item["video"].shape == (16, 32, 32, 3)
+    assert item["video"].min() >= -0.5 and item["video"].max() <= 0.5
+    assert item["label"] == 0
+    assert sorted(item["indices"]) == list(range(32))
