@@ -696,15 +696,16 @@ def maskgit_sample(
     from mebt_tpu.models.mebt import transformer_split
 
     if model.config.seq_axis is not None:
-        # sequence parallelism shards the training/scoring forward
-        # (parallel/sp.py) — its modules call lax.axis_index and must
-        # run inside shard_map, where this driver's plan arithmetic and
-        # promotion counts (canvas-global) would instead apply PER
-        # SHARD. Decode on the unsharded model (seq_axis=None); TP
-        # sharding of decode is supported (tests/test_multichip.py).
-        raise NotImplementedError(
-            "maskgit_sample does not support sequence-parallel models; "
-            "rebind the params to a seq_axis=None config for decoding"
+        # sequence parallelism shards the forward inside shard_map,
+        # where this driver's plan arithmetic and promotion counts
+        # (canvas-global) would apply PER SHARD. The SP decode driver
+        # with plan-global promotion is parallel/sp.py:
+        # sp_maskgit_sample (bit-equal to this scan under shared noise,
+        # tests/test_seq_parallel.py); pass the seq_axis=None model
+        # here, or use TP decode (tests/test_multichip.py).
+        raise ValueError(
+            "maskgit_sample drives unsharded models; for "
+            "sequence-parallel decode call parallel.sp.sp_maskgit_sample"
         )
     N = model.config.seq_len
     state = DecodeState.create(rng, B, N, codes, ctx_mask, chosen_prob)

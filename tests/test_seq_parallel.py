@@ -96,6 +96,88 @@ def test_sp_grads_match_dense(setup):
         )
 
 
+@pytest.mark.parametrize("strategy,top_k", [
+    ("maskgit", None), ("maskgit", 8), ("bootstrap", None),
+])
+def test_sp_decode_matches_dense(setup, strategy, top_k):
+    """SP decode with plan-global promotion: under shared noise the
+    decoded codes and context masks equal the unsharded dense scan."""
+    from mebt_tpu.parallel.sp import sp_maskgit_sample
+    from mebt_tpu.sampler.decode import maskgit_sample
+    from mebt_tpu.sampler.mask_schedule import maskgit_plan
+
+    model, params, codes, ctx, tgt = setup
+    N = model.config.seq_len
+    B = codes.shape[0]
+    S = 6
+    plan = maskgit_plan(N, S, schedule="cosine", ctemp_schedule="linear")
+    rng = np.random.default_rng(7)
+    # Exp(1) sampling noise / promotion noise (interpreted as N(0,1)
+    # scores on the bootstrap path — inert distinction for equality)
+    s_noise = rng.exponential(size=(S, B, N, 64)).astype(np.float32)
+    p_noise = rng.exponential(size=(S, B, N)).astype(np.float32)
+
+    dense = maskgit_sample(
+        model, params, jax.random.PRNGKey(3), B, plan,
+        temperature=1.0, top_k=top_k, context_temperature=4.0,
+        strategy=strategy, staged=False,
+        sample_noise=s_noise, promote_noise=p_noise,
+    )
+    mesh = make_mesh(data=2, model=1, seq=4)
+    sp_codes, sp_ctx, sp_chosen = sp_maskgit_sample(
+        model, params, jax.random.PRNGKey(3), B, plan, mesh,
+        temperature=1.0, top_k=top_k, context_temperature=4.0,
+        strategy=strategy,
+        sample_noise=s_noise, promote_noise=p_noise,
+    )
+    np.testing.assert_array_equal(np.asarray(sp_codes),
+                                  np.asarray(dense.codes))
+    np.testing.assert_array_equal(np.asarray(sp_ctx),
+                                  np.asarray(dense.ctx_mask))
+    np.testing.assert_allclose(
+        np.asarray(sp_chosen), np.asarray(dense.chosen_prob),
+        atol=1e-4, rtol=1e-3,
+    )
+
+
+def test_sp_decode_production_path_runs(setup):
+    """No-hook production path: internal per-shard-folded PRNG streams;
+    asserts every row promotes exactly the plan's global total (the
+    plan-global promotion is not applied per shard) with in-range
+    codes."""
+    from mebt_tpu.parallel.sp import sp_maskgit_sample
+    from mebt_tpu.sampler.mask_schedule import maskgit_plan
+
+    model, params, *_ = setup
+    N = model.config.seq_len
+    B = 4
+    plan = maskgit_plan(N, 4, schedule="cosine", ctemp_schedule="linear")
+    mesh = make_mesh(data=2, model=1, seq=4)
+    sp_codes, sp_ctx, _ = sp_maskgit_sample(
+        model, params, jax.random.PRNGKey(11), B, plan, mesh,
+        temperature=1.0, top_k=8, context_temperature=4.0,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sp_ctx).sum(-1), int(np.asarray(plan.n_new).sum())
+    )
+    c = np.asarray(sp_codes)
+    assert ((c >= 0) & (c < model.config.vocab_size)).all()
+
+
+def test_sp_decode_rejects_entp(setup):
+    from mebt_tpu.parallel.sp import sp_maskgit_sample
+    from mebt_tpu.sampler.mask_schedule import maskgit_plan
+
+    model, params, *_ = setup
+    plan = maskgit_plan(model.config.seq_len, 4)
+    mesh = make_mesh(data=2, model=1, seq=4)
+    with pytest.raises(NotImplementedError, match="maskgit/random"):
+        sp_maskgit_sample(
+            model, params, jax.random.PRNGKey(0), 2, plan, mesh,
+            strategy="entp",
+        )
+
+
 def test_sp_rejects_maskgit(setup):
     model, params, codes, ctx, tgt = setup
     cfg = MeBTConfig(
