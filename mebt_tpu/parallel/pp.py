@@ -97,13 +97,41 @@ def from_pp_params(pp_params, n_layer: int):
     return rest
 
 
-def pp_param_specs(pp_params):
+def pp_param_specs(pp_params, tp: bool = False):
     """PartitionSpecs for the pipeline layout: stacked blocks sharded
-    over 'pipe', everything else replicated. Use with NamedSharding to
-    device_put the train state (and its optimizer mirror)."""
+    over 'pipe' (leading layer axis), everything else replicated. Use
+    with NamedSharding to device_put the train state (and its optimizer
+    mirror).
+
+    `tp=True` additionally applies the Megatron TP rules
+    (mesh.mebt_param_rules) over the 'model' axis: block leaves get
+    P('pipe', *tp_entries) — the stacked layer axis prepends the
+    per-block TP spec — and nonpipe leaves (embeddings/head) their
+    plain TP spec. Requires pp_logits' shard_map to leave 'model' auto
+    (it does)."""
+    from mebt_tpu.parallel.mesh import mebt_param_rules, spec_for_tree
+
+    if not tp:
+        return {
+            "blocks": jax.tree.map(lambda _: P("pipe"),
+                                   pp_params["blocks"]),
+            "nonpipe": jax.tree.map(lambda _: P(), pp_params["nonpipe"]),
+        }
+    rules = mebt_param_rules()
+    # the stacked block tree keeps the per-block leaf paths
+    # (attn/query/kernel, ...) so the same path-regex rules apply; each
+    # leaf has one extra leading (n_layer,) dim to skip
+    block_specs = spec_for_tree(
+        jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape[1:], x.dtype),
+                     pp_params["blocks"]),
+        rules,
+    )
     return {
-        "blocks": jax.tree.map(lambda _: P("pipe"), pp_params["blocks"]),
-        "nonpipe": jax.tree.map(lambda _: P(), pp_params["nonpipe"]),
+        "blocks": jax.tree.map(
+            lambda s: P("pipe", *s), block_specs,
+            is_leaf=lambda x: isinstance(x, P),
+        ),
+        "nonpipe": spec_for_tree(pp_params["nonpipe"], rules),
     }
 
 
@@ -220,6 +248,12 @@ def pp_logits(
             P(),
         ),
         out_specs=P("pipe", "data"),
+        # manual over data+pipe ONLY: the 'model' axis stays auto, so
+        # block params additionally sharded over 'model' (Megatron TP,
+        # mesh.mebt_param_rules via pp_param_specs(tp=True)) keep their
+        # sharding inside the stage compute and GSPMD inserts the TP
+        # collectives — this is how PP composes with TP on one mesh
+        axis_names=frozenset({"data", "pipe"}),
         check_vma=False,
     )
     def pipeline(blocks, mids, tokens0, latents0, ctx_all, tgt_all, key):
@@ -287,12 +321,22 @@ def pp_logits(
             outbuf = jax.lax.dynamic_update_index_in_dim(outbuf, new, oi, 0)
 
             # hand activations to the next stage (stage 0 receives zeros
-            # and overwrites them with fresh input above)
-            state = jax.tree.map(
-                lambda x: jax.lax.ppermute(
-                    x, "pipe", [(i, i + 1) for i in range(S - 1)]
-                ),
-                out,
+            # and overwrites them with fresh input above). Both streams
+            # ride ONE fused ppermute: a single larger ICI transfer per
+            # step, and — since collective-permute rendezvous is global
+            # across the mesh — no pair of independent permutes that an
+            # out-of-order thunk executor could issue in different
+            # orders on different devices (deadlocks XLA:CPU's
+            # in-process communicator on the virtual-device mesh).
+            fused = jnp.concatenate(
+                [out[0].astype(out[1].dtype), out[1]], axis=1
+            )
+            fused = jax.lax.ppermute(
+                fused, "pipe", [(i, i + 1) for i in range(S - 1)]
+            )
+            state = (
+                fused[:, : cfg.sos_emb].astype(out[0].dtype),
+                fused[:, cfg.sos_emb :],
             )
             return (state, outbuf), None
 

@@ -220,3 +220,96 @@ def test_pp_pipeline_layout_shards_param_memory(mesh):
         ),
         grads_pp, grads_ref_pp,
     )
+
+
+def test_pp_composes_with_tp_and_zero1():
+    """Combined-axes training step: DP x TP x PP on one (2,2,2) mesh,
+    ZeRO-1 sharded optimizer state. Loss and updated params must match
+    the dense single-device step (the three strategies are individually
+    pinned elsewhere; this composes them)."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mebt_tpu.parallel.mesh import zero1_specs
+    from mebt_tpu.parallel.pp import (
+        pp_param_specs,
+        to_pp_params,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh_c = make_mesh(data=2, model=2, pipe=2)
+
+    model, params, codes, ctx, tgt = _setup(
+        ("latent_enc", "latent_self", "latent_dec", "lt2l")
+    )
+    L = model.config.n_layer
+    N = codes.shape[1]
+    batch = {
+        "codes": codes,
+        "ctx_mask": ctx,
+        "tgt_mask": tgt,
+        "seq_len": jnp.float32(N),
+        "masked_weight": jnp.float32(N - 8),
+    }
+
+    tx = optax.adamw(1e-3)
+    loss_fn = pp_loss_fn(model, mesh_c, n_micro=2, avg_loss=1.0)
+
+    def train_step(p, opt, b):
+        (loss, _), grads = jax.value_and_grad(
+            lambda q: loss_fn(q, b), has_aux=True
+        )(p)
+        updates, opt = tx.update(grads, opt, p)
+        return optax.apply_updates(p, updates), opt, loss
+
+    # combined layout: blocks P('pipe', *tp), nonpipe TP, opt state
+    # additionally ZeRO-1-sharded over 'data'
+    pp_params = to_pp_params(params, L)
+    pspecs = pp_param_specs(pp_params, tp=True)
+    opt0 = tx.init(pp_params)
+    ospecs = jax.tree.map(lambda _: P(), opt0)
+    ospecs = zero1_specs(
+        {"opt_state": opt0}, {"opt_state": ospecs}, mesh_c, min_size=64
+    )["opt_state"]
+    p_sh = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh_c, s)),
+        pp_params, pspecs,
+    )
+    o_sh = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh_c, s)),
+        opt0, ospecs,
+    )
+    # ZeRO actually sharded something
+    zshards = [
+        s for s in jax.tree.leaves(
+            ospecs, is_leaf=lambda x: isinstance(x, P)
+        ) if "data" in [a for a in s if isinstance(a, str)]
+    ]
+    assert zshards, "zero1_specs sharded no optimizer leaf"
+
+    p1, o1, loss_c = jax.jit(train_step)(p_sh, o_sh, batch)
+
+    # dense single-logical-device step for comparison
+    def dense_loss(q, b):
+        logits = model.apply({"params": q}, b["codes"], b["ctx_mask"],
+                             b["tgt_mask"])
+        return mlm_loss(
+            logits, b["codes"], b["tgt_mask"], b["seq_len"],
+            b["masked_weight"], avg_loss=1.0,
+        )[0]
+
+    def dense_step(q, opt, b):
+        loss, grads = jax.value_and_grad(dense_loss)(q, b)
+        updates, opt = tx.update(grads, opt, q)
+        return optax.apply_updates(q, updates), opt, loss
+
+    d1, _, loss_d = jax.jit(dense_step)(params, tx.init(params), batch)
+    np.testing.assert_allclose(float(loss_c), float(loss_d), rtol=1e-6)
+    d1_pp = to_pp_params(d1, L)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5
+        ),
+        p1, d1_pp,
+    )
