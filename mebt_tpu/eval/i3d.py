@@ -157,13 +157,27 @@ class InceptionModule(nn.Module):
 
 class InceptionI3d(nn.Module):
     """Full I3D; forward returns per-video mean logits over time
-    (reference pytorch_i3d.py:336-346)."""
+    (reference pytorch_i3d.py:336-346).
+
+    `final_endpoint` mirrors the reference constructor arg
+    (pytorch_i3d.py:200-228): build the network only up to the named
+    stem layer and return its globally average-pooled features instead
+    of logits. Any I3D_STEM name is valid; the default "Logits" keeps
+    the full network. Truncated endpoints are what blob-free tests use
+    — shallow random conv features stay discriminative where the
+    full-depth random network contracts all inputs to near-identical
+    logits."""
 
     num_classes: int = 400
     dtype: Any = jnp.float32
+    final_endpoint: str = "Logits"
 
     @nn.compact
     def __call__(self, x):
+        if self.final_endpoint != "Logits" and self.final_endpoint not in {
+            name for name, _, _ in I3D_STEM
+        }:
+            raise ValueError(f"Unknown final endpoint {self.final_endpoint}")
         for name, kind, spec in I3D_STEM:
             if kind == "conv":
                 out, k, s = spec
@@ -173,6 +187,9 @@ class InceptionI3d(nn.Module):
                 x = max_pool_same(x, k, s)
             else:
                 x = InceptionModule(spec, dtype=self.dtype, name=name)(x)
+            if name == self.final_endpoint:
+                # global avg pool over (T, H, W) -> per-video features
+                return jnp.mean(x, axis=(1, 2, 3)).astype(jnp.float32)
         # avg pool [2,7,7] stride 1, VALID
         x = jax.lax.reduce_window(
             x, 0.0, jax.lax.add,
