@@ -107,7 +107,7 @@ def _random_params(model, cfg):
     )
 
 
-def build(latent_shape=(4, 16, 16), remat=False):
+def build(latent_shape=(4, 16, 16), remat=False, remat_policy="full"):
     from mebt_tpu.models.mebt import MeBT, MeBTConfig
     from mebt_tpu.models.vqgan import VQGAN, VQGANConfig
     from __graft_entry__ import _canonical_mode
@@ -123,6 +123,7 @@ def build(latent_shape=(4, 16, 16), remat=False):
         latent_shape=tuple(latent_shape),
         dtype=jnp.bfloat16,
         remat=remat,
+        remat_policy=remat_policy,
     )
     model = MeBT(cfg)
     params = _random_params(model, cfg)
@@ -364,7 +365,7 @@ def bench_128f():
 
 
 def bench_train(latent_shape, B, mask_schedule, *,
-                remat=False, n_steps=6):
+                remat=False, remat_policy="full", n_steps=6):
     """One fused train step — frozen VQGAN encode + dense MeBT
     forward/backward + AdamW, exactly make_train_step's jit — on a
     synthetic device-resident video batch at the published recipe's
@@ -384,7 +385,8 @@ def bench_train(latent_shape, B, mask_schedule, *,
     )
     from mebt_tpu.utils.runtime import donation_argnums
 
-    model, params, vqgan = build(latent_shape, remat=remat)
+    model, params, vqgan = build(latent_shape, remat=remat,
+                                 remat_policy=remat_policy)
     cfg = model.config
     N = cfg.seq_len
 
@@ -446,6 +448,7 @@ def bench_train(latent_shape, B, mask_schedule, *,
         "step_ms": round(dt * 1e3, 1),
         "batch_size": B,
         "remat": remat,
+        "remat_policy": remat_policy if remat else None,
         "xla_tflop_per_step": (
             float(f"{xla_tflop:.4g}") if xla_tflop is not None else None
         ),

@@ -61,6 +61,14 @@ class MeBTConfig:
     unconditional: bool = True
     dtype: Any = jnp.float32
     remat: bool = False
+    # Rematerialization policy under remat=True. "full" (default)
+    # recomputes the whole block forward in the backward (minimum
+    # memory, +1 forward of FLOPs). "dots" saves every matmul output
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) and
+    # recomputes only elementwise ops + the flash-attention kernel —
+    # near-no-remat speed at a fraction of no-remat memory (the MLP
+    # hidden is the dominant saved tensor).
+    remat_policy: str = "full"
     # Sequence (context) parallelism: when set, the model must be
     # applied inside shard_map with the token axis sharded over this
     # mesh axis name — see parallel/sp.py
@@ -127,6 +135,7 @@ class MeBT(nn.Module):
             resid_pdrop=cfg.resid_pdrop,
             dtype=cfg.dtype,
             remat=cfg.remat,
+            remat_policy=cfg.remat_policy,
             seq_axis=cfg.seq_axis,
             name="transformer",
         )
@@ -306,16 +315,23 @@ def mlm_loss(
 
     Returns (loss, metrics) where metrics has ce_sum / acc1 / acc5.
     """
-    V = logits.shape[-1]
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    tgt_logp = jnp.take_along_axis(logp, codes[..., None], axis=-1)[..., 0]
+    # CE via logsumexp instead of materializing the (B, N, V) fp32
+    # log_softmax (another 2.7 GB HBM round-trip at the 128f recipe):
+    # -log p[target] = lse(logits) - logits[target]; the smoothing term
+    # mean(-logp) = lse - mean(logits). Mathematically identical, and
+    # XLA fuses the row reductions into single passes over the logits.
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    tgt_logit_ = jnp.take_along_axis(
+        logits, codes[..., None], axis=-1
+    )[..., 0]
     if label_smoothing > 0.0:
         # torch F.cross_entropy label_smoothing semantics:
         # (1-eps)*nll + eps*mean(-logp)
-        smooth = -jnp.mean(logp, axis=-1)
-        per_tok = (1.0 - label_smoothing) * (-tgt_logp) + label_smoothing * smooth
+        smooth = lse - jnp.mean(logits, axis=-1)
+        per_tok = (1.0 - label_smoothing) * (lse - tgt_logit_) \
+            + label_smoothing * smooth
     else:
-        per_tok = -tgt_logp
+        per_tok = lse - tgt_logit_
 
     tgtf = tgt_mask.astype(jnp.float32)
     ce_sum = jnp.sum(per_tok * tgtf)
@@ -330,8 +346,7 @@ def mlm_loss(
     # target's" — because lax.top_k over the 16384-wide vocab lowers to
     # a full sort on TPU (~40 ms per call at flagship shapes).
     n_tgt = jnp.maximum(jnp.sum(tgtf), 1.0)
-    tgt_logit = jnp.take_along_axis(logits, codes[..., None], axis=-1)
-    rank = jnp.sum(logits > tgt_logit, axis=-1)
+    rank = jnp.sum(logits > tgt_logit_[..., None], axis=-1)
     acc1 = jnp.sum((rank < 1) * tgtf) / n_tgt * 100.0
     acc5 = jnp.sum((rank < 5) * tgtf) / n_tgt * 100.0
 

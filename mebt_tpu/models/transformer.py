@@ -372,6 +372,7 @@ class LatentTransformer(nn.Module):
     resid_pdrop: float = 0.0
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    remat_policy: str = "full"
     seq_axis: str | None = None
 
     def setup(self):
@@ -381,7 +382,20 @@ class LatentTransformer(nn.Module):
             # deterministic is a Python bool branching on the dropout
             # path — keep it static under jax.checkpoint (arg index 5
             # counting self)
-            block_cls = nn.remat(Block, static_argnums=(5,))
+            policies = {
+                # recompute everything inside the block (min memory)
+                "full": None,
+                # save matmul outputs; recompute elementwise + the
+                # flash-attention pallas call (whose q/k/v inputs are
+                # themselves saved dots) — ~2-3% recompute FLOPs vs
+                # the full policy's +1 forward (~33%)
+                "dots": jax.checkpoint_policies
+                .dots_with_no_batch_dims_saveable,
+            }
+            block_cls = nn.remat(
+                Block, static_argnums=(5,),
+                policy=policies[self.remat_policy],
+            )
         self.blocks = [
             block_cls(
                 mode=m,

@@ -98,10 +98,10 @@ def main():
     cidx0 = compact_indices(ctx0, ctx_bucket)
 
     @jax.jit
-    def enc_only(cidx):
+    def enc_only(p, codes, cidx):
         def body(c, _):
             lat = model.apply(
-                {"params": params}, codes0, cidx, cidx < N,
+                {"params": p}, codes, cidx, cidx < N,
                 method="stage_a_compact",
             )
             return c + jnp.sum(lat.astype(jnp.float32)), None
@@ -109,26 +109,26 @@ def main():
         s, _ = jax.lax.scan(body, 0.0, None, length=R)
         return s
 
-    t_enc = timeit(enc_only, cidx0, reps=2,
+    t_enc = timeit(enc_only, params, codes0, cidx0, reps=2,
                    label=f"stage_a_compact (ctx={ctx_bucket})", n_inner=R)
 
     # 1b) enc phase WITHOUT the latent_enc K/V over ctx: measure the
     # embedding gather alone (tok_emb + pos gather at ctx_bucket rows)
     @jax.jit
-    def gather_only(cidx):
+    def gather_only(p, codes, cidx):
         def body(c, _):
             idx = jnp.minimum(cidx, N - 1)
-            cg = jnp.take_along_axis(codes0, idx, axis=1)
-            tok = params["tok_emb"]["embedding"][cg].astype(jnp.bfloat16)
+            cg = jnp.take_along_axis(codes, idx, axis=1)
+            tok = p["tok_emb"]["embedding"][cg].astype(jnp.bfloat16)
             pos = jnp.take(
-                params["pos_emb"][0], idx, axis=0
+                p["pos_emb"][0], idx, axis=0
             ).astype(jnp.bfloat16)
             return c + jnp.sum((tok + pos).astype(jnp.float32)), None
 
         s, _ = jax.lax.scan(body, 0.0, None, length=R)
         return s
 
-    timeit(gather_only, cidx0, reps=2,
+    timeit(gather_only, params, codes0, cidx0, reps=2,
            label="  - ctx embedding gathers alone", n_inner=R)
 
     # 2) compact_indices over the full canvas (per step: tgt + ctx)
@@ -153,10 +153,10 @@ def main():
     tidx0 = compact_indices(~ctx0, bucket)
 
     @jax.jit
-    def dec_only(lat, tidx):
+    def dec_only(p, lat, tidx):
         def body(c, _):
             toks = model.apply(
-                {"params": params}, lat, tidx, tidx < N,
+                {"params": p}, lat, tidx, tidx < N,
                 method="stage_b_tokens",
             )
             return c + jnp.sum(toks.astype(jnp.float32)), None
@@ -164,7 +164,7 @@ def main():
         s, _ = jax.lax.scan(body, 0.0, None, length=R)
         return s
 
-    timeit(dec_only, lat0, tidx0, reps=2,
+    timeit(dec_only, params, lat0, tidx0, reps=2,
            label=f"stage_b_tokens (tgt={bucket})", n_inner=R)
 
     # 4) fused top-k head+sample at the tgt bucket
@@ -174,7 +174,7 @@ def main():
     w = params["transformer"]["head"]["kernel"]
 
     @jax.jit
-    def topk_only(toks):
+    def topk_only(toks, w):
         from mebt_tpu.ops.head_sample_pallas import fused_head_topk_sample_v2
 
         Bm, M, Dm = toks.shape
@@ -189,12 +189,12 @@ def main():
         s, _ = jax.lax.scan(body, 0.0, jnp.arange(R))
         return s
 
-    timeit(topk_only, toks0, reps=2,
+    timeit(topk_only, toks0, w, reps=2,
            label=f"fused head+top32 ({B * bucket}x16384)", n_inner=R)
 
     # 4b) bare head matmul for reference
     @jax.jit
-    def head_only(toks):
+    def head_only(toks, w):
         Bm, M, Dm = toks.shape
         xf = toks.reshape(Bm * M, Dm)
 
@@ -205,7 +205,7 @@ def main():
         s, _ = jax.lax.scan(body, 0.0, None, length=R)
         return s
 
-    timeit(head_only, toks0, reps=2,
+    timeit(head_only, toks0, w, reps=2,
            label="  - bare head matmul + reduce", n_inner=R)
 
     # 5) promotion + canvas scatters at these shapes

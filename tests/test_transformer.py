@@ -239,3 +239,38 @@ def test_remat_forward_and_grad():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
         )
+
+
+def test_remat_dots_policy_matches_full():
+    """remat_policy='dots' (save matmul outputs, recompute elementwise
+    + the attention) must be numerically identical to the full-recompute
+    policy — it changes only WHAT the backward rematerializes."""
+    cfg = small_config(
+        mode=("latent_enc", "latent_self", "latent_dec", "lt2l"),
+        n_layer=4, remat=True,
+    )
+    cfg_d = MeBTConfig(**{**cfg.__dict__, "remat_policy": "dots"})
+    N = cfg.seq_len
+    rng = np.random.default_rng(7)
+    codes = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(2, N)), jnp.int32)
+    ctx = jnp.zeros((2, N), bool).at[:, :20].set(True)
+    tgt = ~ctx
+
+    m = MeBT(cfg)
+    md = MeBT(cfg_d)
+    params = m.init(jax.random.key(0), codes, ctx, tgt)["params"]
+
+    def loss(p, model):
+        lg = model.apply({"params": p}, codes, ctx, tgt)
+        l, _ = mlm_loss(
+            lg, codes, tgt, jnp.float32(N), jnp.float32(N - 20)
+        )
+        return l
+
+    lf, gf = jax.value_and_grad(lambda p: loss(p, m))(params)
+    ld, gd = jax.value_and_grad(lambda p: loss(p, md))(params)
+    np.testing.assert_allclose(float(lf), float(ld), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gd)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        )
