@@ -29,6 +29,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from mebt_tpu.ops.attention import masked_attention
 
@@ -170,12 +171,22 @@ class CrossAttention(nn.Module):
         return self.key(key), self.value(key)
 
     def attend(self, query, k, v, key_mask=None, *, deterministic=True,
-               kv_sharded=False):
+               kv_sharded=False, tag_kv=False):
         """Attention given precomputed K/V; query is the normalized
         query stream. `kv_sharded=True` (inside shard_map, with
         `seq_axis` set) runs the sequence-parallel partial-softmax merge
-        over the key axis (ops/attention.py:sp_masked_attention)."""
-        q = self.query(query)
+        over the key axis (ops/attention.py:sp_masked_attention).
+
+        `tag_kv=True` marks K/V as remat-saveable (checkpoint_name) —
+        the caller asserts they are latent-sized, so the 'saved' remat
+        policy can keep them instead of recomputing the projections in
+        the backward. Q is always tagged (latent-sized for enc-phase
+        blocks; for dec-phase blocks the 80 MB/block it costs at 128f
+        buys skipping the projection + flash-forward recompute)."""
+        q = checkpoint_name(self.query(query), "attn_q")
+        if tag_kv:
+            k = checkpoint_name(k, "attn_kv_small")
+            v = checkpoint_name(v, "attn_kv_small")
         if kv_sharded:
             if self.seq_axis is None:
                 raise ValueError("kv_sharded requires seq_axis")
@@ -210,16 +221,16 @@ class CrossAttention(nn.Module):
         else:
             y = masked_attention(q, k, v, key_mask)
 
-        y = self.proj(y)
+        y = self.proj(checkpoint_name(y, "attn_y"))
         y = self.resid_drop(y, deterministic=deterministic)
         return y.astype(query.dtype)
 
     def __call__(self, query, key, key_mask=None, *, deterministic=True,
-                 kv_sharded=False):
+                 kv_sharded=False, tag_kv=False):
         k, v = self.project_kv(key)
         return self.attend(
             query, k, v, key_mask, deterministic=deterministic,
-            kv_sharded=kv_sharded,
+            kv_sharded=kv_sharded, tag_kv=tag_kv,
         )
 
 
@@ -234,6 +245,9 @@ class Mlp(nn.Module):
         h = nn.Dense(
             4 * self.n_embd, kernel_init=dense_init, dtype=self.dtype, name="fc"
         )(x)
+        # saveable under remat_policy='saved_mlp' (pre-activation: the
+        # gelu and its grad are elementwise recomputes from it)
+        h = checkpoint_name(h, "mlp_fc")
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(
             self.n_embd, kernel_init=dense_init, dtype=self.dtype, name="proj"
@@ -339,9 +353,13 @@ class Block(nn.Module):
 
         qn = self.ln1(query)
         kn = self.ln1(key)
+        # latent-keyed modes have tiny K/V — mark them remat-saveable
+        # so the 'saved' policy keeps them (token-keyed K/V would cost
+        # 80 MB/block at 128f and are recomputed instead)
+        tag_kv = self.mode in ("latent_self", "latent_dec")
         x = qn + self.attn(
             qn, kn, key_mask, deterministic=deterministic,
-            kv_sharded=kv_sharded,
+            kv_sharded=kv_sharded, tag_kv=tag_kv,
         )
         x = x + self.mlp(self.ln2(x), deterministic=deterministic)
 
@@ -388,9 +406,27 @@ class LatentTransformer(nn.Module):
                 # save matmul outputs; recompute elementwise + the
                 # flash-attention pallas call (whose q/k/v inputs are
                 # themselves saved dots) — ~2-3% recompute FLOPs vs
-                # the full policy's +1 forward (~33%)
+                # the full policy's +1 forward (~33%). At 128f this
+                # saves the 320 MB/block MLP hidden too and OOMs HBM
+                # at the flagship batch sizes; prefer 'saved'.
                 "dots": jax.checkpoint_policies
                 .dots_with_no_batch_dims_saveable,
+                # save only the named attention tensors (Q, the
+                # latent-sized K/V, and the pre-proj attention output
+                # — ~160 MB/dec block at 128f bs5): the backward
+                # recomputes just the MLP matmuls, token-keyed K/V
+                # projections, layernorms, and the small-Q flash
+                # forward (for its lse residual) — ~15% of a forward
+                # vs the full policy's +100%
+                "saved": jax.checkpoint_policies.save_only_these_names(
+                    "attn_q", "attn_kv_small", "attn_y"
+                ),
+                # 'saved' + the pre-gelu MLP hidden (320 MB/dec block
+                # at 128f bs5): near-zero matmul recompute, HBM-tight
+                "saved_mlp": jax.checkpoint_policies
+                .save_only_these_names(
+                    "attn_q", "attn_kv_small", "attn_y", "mlp_fc"
+                ),
             }
             block_cls = nn.remat(
                 Block, static_argnums=(5,),

@@ -25,11 +25,17 @@ Gradients: `fused_attention` carries a custom VJP with Pallas flash
 backward kernels per regime — streaming over the large axis with the
 probability tile recomputed in VMEM (small-Q saves the forward's lse;
 large-Q recomputes everything in-kernel), so the (B, H, NQ, NK) fp32
-tensors of the naive backward never hit HBM. In-kernel matmuls run at
-HIGHEST precision; measured against a float64 host reference the flash
-grads are 2-7x closer than the XLA fp32-einsum backward on TPU (whose
-MXU passes are bf16-based). The XLA formulation remains as the fallback
-for shapes outside both regimes.
+tensors of the naive backward never hit HBM. Backward matmul precision
+is keyed on the input dtype: bf16 inputs (the production models) run
+single-pass MXU matmuls with fp32 accumulation — identical products to
+any multi-pass scheme on bf16-sourced operands, and the in-kernel
+score recompute then matches the forward bit-for-bit — with the fp32
+probability/ds tiles cast to bf16 for their matmuls exactly as the
+forward casts p before the PV matmul. Genuine fp32 inputs keep
+HIGHEST-precision matmuls throughout; measured against a float64 host
+reference that path's grads are 2-7x closer than the XLA fp32-einsum
+backward on TPU (whose MXU passes are bf16-based). The XLA formulation
+remains as the fallback for shapes outside both regimes.
 """
 
 from __future__ import annotations
@@ -313,15 +319,34 @@ def _smallq_bwd_kernel(seed_ref, q_ref, g_ref, lse_ref, d_ref, k_ref, v_ref,
         # the same elements drop (tile partitioning must match too)
         pltpu.prng_seed(seed_ref[0] + gcell * pl.num_programs(1) + j)
 
+    # Precision policy (matches the forward): bf16 inputs run
+    # single-pass MXU matmuls with fp32 accumulation — upcasting
+    # bf16-sourced operands buys nothing and HIGHEST costs 6 passes
+    # (scripts/ab_attn_bwd.py: 3.45-3.67 ms/call bf16 vs 4.5-4.8
+    # fp32/HIGHEST at the flagship 128f training shapes, probe 143).
+    # The recomputed scores then equal the forward's bit-for-bit, so
+    # p = exp(s - lse) is exact. The fp32 probabilities/ds are cast to
+    # bf16 for their matmuls, exactly like the forward's
+    # p_acc.astype(v.dtype). Genuine-fp32 inputs (tests, fp32 models)
+    # keep the full-precision path.
+    fast = q_ref.dtype == jnp.bfloat16
+    prec = None if fast else jax.lax.Precision.HIGHEST
+
+    def _f32(x):
+        return x if fast else x.astype(jnp.float32)
+
+    def _op(x):  # fp32 intermediate -> matmul operand dtype
+        return x.astype(jnp.bfloat16) if fast else x
+
     for h in range(hc):
-        q = q_ref[0, h].astype(jnp.float32)  # (NQ, D)
-        g = g_ref[0, h].astype(jnp.float32)  # (NQ, D)
-        k = k_ref[0, h].astype(jnp.float32)  # (BK, D)
-        v = v_ref[0, h].astype(jnp.float32)  # (BK, D)
+        q = _f32(q_ref[0, h])  # (NQ, D)
+        g = _f32(g_ref[0, h])  # (NQ, D)
+        k = _f32(k_ref[0, h])  # (BK, D)
+        v = _f32(v_ref[0, h])  # (BK, D)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         ) * scale
         p = jnp.exp(s - lse_ref[0, h])  # exact probs via saved lse
         if use_mask:
@@ -329,27 +354,28 @@ def _smallq_bwd_kernel(seed_ref, q_ref, g_ref, lse_ref, d_ref, k_ref, v_ref,
         keep = _drop_keep(p.shape, p_drop) if p_drop > 0.0 else None
         p_v = p * keep if keep is not None else p
         dv_ref[0, h] = jax.lax.dot_general(
-            p_v, g, (((0,), (0,)), ((), ())),
+            _op(p_v), g, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         ).astype(dv_ref.dtype)
         dp = jax.lax.dot_general(
             g, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
         if keep is not None:
             dp = dp * keep  # dL/dP through the dropout mask
         ds = p * (dp - d_ref[0, h]) * scale  # (NQ, BK)
+        ds = _op(ds)
         dk_ref[0, h] = jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         ).astype(dk_ref.dtype)
         dq_acc[h] += jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
 
     @pl.when(j == pl.num_programs(1) - 1)
@@ -459,49 +485,65 @@ def _largeq_bwd_kernel(seed_ref, q_ref, g_ref, k_ref, v_ref,
             seed_ref[0] + pl.program_id(0) * pl.num_programs(1) + i
         )
 
+    # Same dtype-keyed precision policy as _smallq_bwd_kernel: bf16
+    # inputs run single-pass matmuls (fp32 accumulation), so the
+    # in-kernel softmax recompute matches the forward bit-for-bit;
+    # fp32 intermediates are cast to bf16 for their matmuls like the
+    # forward's pn.astype(v.dtype). fp32 inputs keep HIGHEST.
+    fast = q_ref.dtype == jnp.bfloat16
+    prec = None if fast else jax.lax.Precision.HIGHEST
+
+    def _f32(x):
+        return x if fast else x.astype(jnp.float32)
+
+    def _op(x):
+        return x.astype(jnp.bfloat16) if fast else x
+
     for h in range(hc):
-        q = q_ref[0, h].astype(jnp.float32)  # (BQ, D)
-        g = g_ref[0, h].astype(jnp.float32)  # (BQ, D)
-        k = k_ref[0, h].astype(jnp.float32)  # (NK, D)
-        v = v_ref[0, h].astype(jnp.float32)  # (NK, D)
+        q = _f32(q_ref[0, h])  # (BQ, D)
+        g = _f32(g_ref[0, h])  # (BQ, D)
+        k = _f32(k_ref[0, h])  # (NK, D)
+        v = _f32(v_ref[0, h])  # (NK, D)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         ) * scale
         m = jnp.max(s, axis=1, keepdims=True)
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=1, keepdims=True)  # (BQ, NK)
         keep = _drop_keep(p.shape, p_drop) if p_drop > 0.0 else None
         p_v = p * keep if keep is not None else p
+        p_v = _op(p_v)
         o = jax.lax.dot_general(
             p_v, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
         dvec = jnp.sum(g * o, axis=1, keepdims=True)  # (BQ, 1)
         dv_acc[h] += jax.lax.dot_general(
             p_v, g, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
         dp = jax.lax.dot_general(
             g, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
         if keep is not None:
             dp = dp * keep  # dL/dP through the dropout mask
         ds = p * (dp - dvec) * scale  # (BQ, NK)
+        ds = _op(ds)
         dq_ref[0, h] = jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         ).astype(dq_ref.dtype)
         dk_acc[h] += jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
 
     @pl.when(i == pl.num_programs(1) - 1)
@@ -689,7 +731,16 @@ fused_attention.defvjp(_fused_fwd, _fused_bwd)
 
 # forward and backward MUST share these so the regenerated in-kernel
 # dropout masks line up element-for-element
-_DROP_SMALLQ = dict(block_k=1024, heads_per_cell=4)
+def _drop_smallq_params(dtype):
+    # fp32 doubles every VMEM block; the backward at block_k=1024/hc=4
+    # overflows the ~16 MB scoped limit by ~0.5 MB at 8K contexts, so
+    # fp32 halves the K block (fwd and bwd both key off this helper —
+    # the dropout tile partitioning stays coherent).
+    if dtype == jnp.bfloat16:
+        return dict(block_k=1024, heads_per_cell=4)
+    return dict(block_k=512, heads_per_cell=4)
+
+
 _DROP_LARGEQ = dict(block_q=1024, heads_per_cell=4)
 
 
@@ -726,7 +777,8 @@ def _fused_dropout_fwd_impl(q, k, v, key_mask, seed, rate):
     if regime == "smallq":
         mask = None if key_mask is None else key_mask.astype(jnp.int32)
         out, lse = _smallq_attention(
-            q, k, v, mask, seed, scale=scale, p_drop=rate, **_DROP_SMALLQ
+            q, k, v, mask, seed, scale=scale, p_drop=rate,
+            **_drop_smallq_params(q.dtype),
         )
         return out, lse
     assert regime == "largeq", "xla regime handled by the caller"
@@ -752,7 +804,7 @@ def _fused_dropout_bwd(rate, res, g):
         mask = None if key_mask is None else key_mask.astype(jnp.int32)
         dq, dk, dv = _smallq_backward(
             q, k, v, mask, out, lse, g, seed, scale=scale, p_drop=rate,
-            **_DROP_SMALLQ,
+            **_drop_smallq_params(q.dtype),
         )
     else:
         dq, dk, dv = _largeq_backward(

@@ -71,6 +71,9 @@ class MeBTTrainer:
         self.model_cfg = MeBTConfig.from_config(
             mp, mask_shape=self.mask_gen.shape, dtype=compute_dtype,
             remat=bool(config.get("exp", {}).get("remat", False)),
+            remat_policy=str(
+                config.get("exp", {}).get("remat_policy", "dots")
+            ),
         )
         self.model = MeBT(self.model_cfg)
         self.vqgan = vqgan

@@ -241,15 +241,17 @@ def test_remat_forward_and_grad():
         )
 
 
-def test_remat_dots_policy_matches_full():
-    """remat_policy='dots' (save matmul outputs, recompute elementwise
-    + the attention) must be numerically identical to the full-recompute
-    policy — it changes only WHAT the backward rematerializes."""
+@pytest.mark.parametrize("policy", ["dots", "saved", "saved_mlp"])
+def test_remat_policy_matches_full(policy):
+    """Every selective remat policy ('dots' = save matmul outputs;
+    'saved'/'saved_mlp' = save the named attention/MLP tensors) must be
+    numerically identical to the full-recompute policy — a policy
+    changes only WHAT the backward rematerializes."""
     cfg = small_config(
         mode=("latent_enc", "latent_self", "latent_dec", "lt2l"),
         n_layer=4, remat=True,
     )
-    cfg_d = MeBTConfig(**{**cfg.__dict__, "remat_policy": "dots"})
+    cfg_d = MeBTConfig(**{**cfg.__dict__, "remat_policy": policy})
     N = cfg.seq_len
     rng = np.random.default_rng(7)
     codes = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(2, N)), jnp.int32)
